@@ -1,0 +1,74 @@
+"""Device-mesh construction and sharding policies.
+
+The reference's only parallelism is single-process `nn.DataParallel`
+(demo.py:89). The TPU-native equivalent (SURVEY.md §2.8): a
+`jax.sharding.Mesh` with a `data` axis for batch sharding and an optional
+`spatial` axis for sharding the image H dimension of very large inputs —
+XLA inserts the halo exchanges for spatially-sharded convolutions
+automatically, riding ICI.
+
+No hand-written communication: collectives are emitted by jit from the
+sharding annotations. Multi-host entry goes through
+`jax.distributed.initialize()` (see `maybe_init_distributed`).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def maybe_init_distributed() -> None:
+    """Initialise multi-host JAX when launched under a cluster env."""
+    if os.environ.get("FDGAN_TPU_DIST", "") and jax.process_count() == 1:
+        try:
+            jax.distributed.initialize()
+        except Exception:  # already initialised or single-host
+            pass
+
+
+def make_mesh(
+    n_data: Optional[int] = None,
+    n_spatial: int = 1,
+    devices: Optional[Sequence] = None,
+) -> Mesh:
+    """Build a ('data', 'spatial') mesh. Default: all devices on 'data'."""
+    devices = list(devices if devices is not None else jax.devices())
+    if n_data is None:
+        n_data = len(devices) // n_spatial
+    if n_data * n_spatial != len(devices):
+        raise ValueError(
+            f"mesh {n_data}x{n_spatial} does not cover {len(devices)} devices"
+        )
+    arr = np.asarray(devices).reshape(n_data, n_spatial)
+    return Mesh(arr, ("data", "spatial"))
+
+
+def batch_sharding(mesh: Mesh, spatial_axis: Optional[int] = None) -> NamedSharding:
+    """NHWC batch sharded on 'data'; optionally H sharded on 'spatial'."""
+    if spatial_axis is None:
+        return NamedSharding(mesh, P("data"))
+    spec = [None] * 4
+    spec[0] = "data"
+    spec[spatial_axis] = "spatial"
+    return NamedSharding(mesh, P(*spec))
+
+
+def replicate_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh, spatial: bool = False):
+    """Device-put a host batch with the DP (+SP) layout."""
+    sharding = batch_sharding(mesh, 1 if spatial else None)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def shard_params(params, mesh: Mesh):
+    """Replicate parameters across the mesh (model is ~1e7 params — far
+    below the threshold where TP would pay; SURVEY.md §2.8)."""
+    return jax.tree.map(lambda x: jax.device_put(x, replicate_sharding(mesh)), params)

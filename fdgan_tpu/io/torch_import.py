@@ -1,0 +1,176 @@
+"""Torch `.pth` → fdgan_tpu pytree converter.
+
+The reference ships DataParallel checkpoints whose keys carry a `module.`
+prefix that `demo.py:78-86` strips before loading; this converter does the
+same, then maps every torch tensor into the NHWC/HWIO layout:
+
+* Conv2d weight (O, I, kh, kw)          → kernel (kh, kw, I, O)
+* ConvTranspose2d weight (I, O, kh, kw) → kernel (kh, kw, I, O)
+* BatchNorm weight/bias/running_mean/running_var → scale/bias/mean/var
+* `num_batches_tracked` → dropped (no semantic content)
+
+The two conv layouts are auto-disambiguated against the target tree's
+expected kernel shape, so no per-model list of transposed-conv paths is
+needed (in this model family transposed 1×1 convs never have equal in/out
+channels). Dead reference parameters (SURVEY.md §2.2) land in the tree like
+any other weight, keeping conversion lossless in both directions.
+
+Requires torch (CPU build is sufficient) only inside `load_torch_state_dict`.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Mapping
+
+import numpy as np
+import jax.numpy as jnp
+
+_LEAF_MAP = {
+    "weight": None,  # resolved by tensor rank: 4D conv kernel / 1D bn scale
+    "bias": "bias",
+    "running_mean": "mean",
+    "running_var": "var",
+}
+
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Read a .pth state dict to numpy, stripping DataParallel prefixes."""
+    import torch
+
+    state = torch.load(path, map_location="cpu", weights_only=True)
+    if hasattr(state, "state_dict"):
+        state = state.state_dict()
+    out = {}
+    for k, v in state.items():
+        if k.startswith("module."):
+            k = k[len("module.") :]
+        out[k] = v.detach().cpu().numpy()
+    return out
+
+
+def _tree_lookup(tree: dict, parts):
+    node = tree
+    for p in parts:
+        if not isinstance(node, dict) or p not in node:
+            return None
+        node = node[p]
+    return node
+
+
+def _tree_assign(tree: dict, parts, value):
+    node = tree
+    for p in parts[:-1]:
+        node = node.setdefault(p, {})
+    node[parts[-1]] = value
+
+
+def convert_state_dict(
+    state: Mapping[str, np.ndarray],
+    target: dict,
+    strict: bool = True,
+    dtype=jnp.float32,
+) -> dict:
+    """Map a flat torch state dict onto a copy of `target` (a template pytree
+    from the matching `init()`), verifying shapes leaf by leaf."""
+    import copy
+
+    out = copy.deepcopy(target)
+    missing = []
+    for key, value in state.items():
+        parts = key.split(".")
+        leaf = parts[-1]
+        if leaf == "num_batches_tracked":
+            continue
+        if leaf not in _LEAF_MAP:
+            if strict:
+                raise KeyError(f"unrecognised torch leaf {key!r}")
+            continue
+        parent_parts = parts[:-1]
+        parent = _tree_lookup(out, parent_parts)
+        if parent is None:
+            # torch 0.3-era Sequentials allow dotted module names; a key like
+            # 'main.layer2.layer2.conv.weight' duplicates a segment — collapse it
+            dedup = [p for i, p in enumerate(parent_parts) if i == 0 or p != parent_parts[i - 1]]
+            parent = _tree_lookup(out, dedup)
+            parent_parts = dedup
+        if parent is None:
+            missing.append(key)
+            continue
+
+        arr = np.asarray(value)
+        if leaf == "weight":
+            if arr.ndim == 4:
+                expected = parent["kernel"].shape
+                cand = arr.transpose(2, 3, 1, 0)  # OIHW → HWIO
+                if cand.shape != tuple(expected):
+                    cand = arr.transpose(2, 3, 0, 1)  # ConvTranspose IOHW → HWIO
+                if cand.shape != tuple(expected):
+                    raise ValueError(
+                        f"{key}: torch shape {arr.shape} fits neither conv nor "
+                        f"transposed-conv layout for target {tuple(expected)}"
+                    )
+                parent["kernel"] = jnp.asarray(cand, dtype)
+            elif arr.ndim == 1:
+                if "scale" not in parent or parent["scale"].shape != arr.shape:
+                    raise ValueError(f"{key}: 1-D weight does not match a BN scale")
+                parent["scale"] = jnp.asarray(arr, dtype)
+            else:
+                raise ValueError(f"{key}: unsupported weight rank {arr.ndim}")
+        else:
+            slot = _LEAF_MAP[leaf]
+            if slot not in parent:
+                missing.append(key)
+                continue
+            if parent[slot].shape != arr.shape:
+                raise ValueError(
+                    f"{key}: shape {arr.shape} != target {parent[slot].shape}"
+                )
+            parent[slot] = jnp.asarray(arr, dtype)
+    if missing and strict:
+        raise KeyError(f"{len(missing)} torch keys had no home in the target tree: {missing[:8]}")
+    return out
+
+
+def convert_fdgan_checkpoint(path: str, rng=None, dtype=jnp.float32) -> dict:
+    """netG_epoch_{real,synthetic}.pth → FDGAN param tree."""
+    import jax
+
+    from fdgan_tpu.models import fdgan
+
+    target = fdgan.init(rng if rng is not None else jax.random.PRNGKey(0), dtype)
+    return convert_state_dict(load_torch_state_dict(path), target, dtype=dtype)
+
+
+def convert_vgg16(path: str, rng=None, dtype=jnp.float32) -> dict:
+    """A torch-saved Vgg16 state dict (myutils/utils.py:94) → vgg pytree."""
+    import jax
+
+    from fdgan_tpu.models import vgg16
+
+    target = vgg16.init(rng if rng is not None else jax.random.PRNGKey(0), dtype)
+    return convert_state_dict(load_torch_state_dict(path), target, dtype=dtype)
+
+
+def export_state_dict(params: dict, prefix: str = "") -> Dict[str, np.ndarray]:
+    """Inverse direction: fdgan_tpu pytree → flat torch-layout state dict
+    (conv kernels back to OIHW). Lets reference tooling consume checkpoints
+    trained here."""
+    flat: Dict[str, np.ndarray] = {}
+
+    def walk(node, path):
+        if isinstance(node, dict):
+            if "kernel" in node:
+                flat[path + "weight"] = np.asarray(node["kernel"]).transpose(3, 2, 0, 1)
+                if "bias" in node:
+                    flat[path + "bias"] = np.asarray(node["bias"])
+            elif "scale" in node:
+                flat[path + "weight"] = np.asarray(node["scale"])
+                flat[path + "bias"] = np.asarray(node["bias"])
+                flat[path + "running_mean"] = np.asarray(node["mean"])
+                flat[path + "running_var"] = np.asarray(node["var"])
+            else:
+                for k, v in node.items():
+                    walk(v, f"{path}{k}.")
+
+    walk(params, prefix)
+    return flat

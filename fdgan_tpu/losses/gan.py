@@ -1,0 +1,30 @@
+"""Adversarial (BCE) losses for the sigmoid-headed PatchGAN discriminators.
+
+Reconstructed training semantics (SURVEY.md §3.4): the shipped discriminators
+end in Sigmoid (dehaze1113.py:180-181, :223), so the GAN objective is binary
+cross-entropy on probability maps, DCGAN-style.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_EPS = 1e-7
+
+
+def bce(pred: jax.Array, target: float) -> jax.Array:
+    """Mean binary cross-entropy of a probability map against a constant
+    label (torch nn.BCELoss semantics)."""
+    p = jnp.clip(pred, _EPS, 1.0 - _EPS)
+    return -jnp.mean(target * jnp.log(p) + (1.0 - target) * jnp.log(1.0 - p))
+
+
+def d_loss(d_real: jax.Array, d_fake: jax.Array) -> jax.Array:
+    """BCE(D(real),1) + BCE(D(fake),0)."""
+    return bce(d_real, 1.0) + bce(d_fake, 0.0)
+
+
+def g_adv_loss(d_fake: jax.Array) -> jax.Array:
+    """Non-saturating-through-labels generator term: BCE(D(fake),1)."""
+    return bce(d_fake, 1.0)

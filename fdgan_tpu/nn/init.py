@@ -1,0 +1,74 @@
+"""Weight-initialisation utilities.
+
+``dcgan_init`` mirrors the reference's ``misc.weights_init`` (misc.py:16-22):
+conv kernels ~ N(0, 0.02); BN scale ~ N(1, 0.02), BN bias = 0.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import jax
+import jax.numpy as jnp
+
+
+def init_rng_stream(rng: jax.Array) -> Iterator[jax.Array]:
+    """Infinite stream of independent RNG keys (fold_in by counter)."""
+    i = 0
+    while True:
+        yield jax.random.fold_in(rng, i)
+        i += 1
+
+
+def _is_conv(d: dict) -> bool:
+    return "kernel" in d
+
+
+def _is_bn(d: dict) -> bool:
+    return "scale" in d and "mean" in d
+
+
+def dcgan_init(rng: jax.Array, params: dict) -> dict:
+    """Re-draw every conv kernel from N(0, 0.02) and every BN scale from
+    N(1, 0.02) with zero bias, preserving running stats — the DCGAN init the
+    reference applies before training."""
+    flat = []
+
+    def walk(tree, path):
+        if isinstance(tree, dict):
+            if _is_conv(tree):
+                flat.append((path, tree))
+            elif _is_bn(tree):
+                flat.append((path, tree))
+            else:
+                for k, v in tree.items():
+                    walk(v, path + (k,))
+
+    walk(params, ())
+
+    def rebuild(tree, path):
+        if isinstance(tree, dict):
+            if _is_conv(tree):
+                k = jax.random.fold_in(rng, hash(path) % (2**31))
+                new = dict(tree)
+                new["kernel"] = 0.02 * jax.random.normal(k, tree["kernel"].shape, tree["kernel"].dtype)
+                if "bias" in tree:
+                    new["bias"] = jnp.zeros_like(tree["bias"])
+                return new
+            if _is_bn(tree):
+                k = jax.random.fold_in(rng, hash(path) % (2**31))
+                new = dict(tree)
+                new["scale"] = 1.0 + 0.02 * jax.random.normal(k, tree["scale"].shape, tree["scale"].dtype)
+                new["bias"] = jnp.zeros_like(tree["bias"])
+                return new
+            return {k: rebuild(v, path + (k,)) for k, v in tree.items()}
+        return tree
+
+    return rebuild(params, ())
+
+
+def he_init(rng: jax.Array, shape, dtype=jnp.float32) -> jax.Array:
+    fan_in = 1
+    for d in shape[:-1]:
+        fan_in *= d
+    return jax.random.normal(rng, shape, dtype) * jnp.sqrt(2.0 / fan_in)

@@ -1,0 +1,133 @@
+"""Alternating G/D adversarial training step, fully jitted, mesh-shardable.
+
+Reconstruction of the unpublished FD-GAN train loop from the shipped parts
+(SURVEY.md §3.4): generator FDGAN, fusion-discriminator
+NLayerDiscriminator(input_nc=9) over concat[RGB, LF, HF], Adam(2e-4, β1=0.5)
+(reference flag defaults demo.py:43-46), linear LR decay (misc.py:164-172).
+
+TPU design notes:
+* one `train_step(state, haze, gt, rng)` — both G and D updates inside a
+  single jit so XLA overlaps their collectives and reuses the G forward
+* data parallelism comes from sharded batch inputs (dist.mesh); gradients
+  are averaged implicitly by jit-compiled reduction over the sharded batch
+* BatchNorm batch statistics are captured during the G forward and folded
+  into running stats torch-style (momentum 0.1), keeping checkpoints
+  compatible with eval-mode inference
+* all compute can run in bf16 via `compute_dtype`; params and the Adam state
+  stay fp32 (mixed-precision policy of BASELINE config 5)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from fdgan_tpu.losses.composite import LossWeights, discriminator_loss, generator_loss
+from fdgan_tpu.models import fdgan
+from fdgan_tpu.nn.layers import update_running_stats
+from fdgan_tpu.nn.tree import tree_get, tree_set
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TrainState:
+    step: jax.Array
+    g_params: Any
+    d_params: Any
+    g_opt: Any
+    d_opt: Any
+
+
+def create_train_state(
+    rng: jax.Array,
+    lr_g: float = 2e-4,
+    lr_d: float = 2e-4,
+    beta1: float = 0.5,
+    decay_every: int = 0,
+    input_nc: int = 9,
+) -> Tuple[TrainState, optax.GradientTransformation, optax.GradientTransformation]:
+    from fdgan_tpu.models.discriminators import nlayer_init
+    from fdgan_tpu.train.schedule import linear_decay_schedule
+
+    g_rng, d_rng = jax.random.split(rng)
+    g_params = fdgan.init(g_rng)
+    d_params = nlayer_init(d_rng, input_nc=input_nc)
+
+    sched_g = linear_decay_schedule(lr_g, decay_every) if decay_every else lr_g
+    sched_d = linear_decay_schedule(lr_d, decay_every) if decay_every else lr_d
+    tx_g = optax.adam(sched_g, b1=beta1, b2=0.999)
+    tx_d = optax.adam(sched_d, b1=beta1, b2=0.999)
+
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        g_params=g_params,
+        d_params=d_params,
+        g_opt=tx_g.init(g_params),
+        d_opt=tx_d.init(d_params),
+    )
+    return state, tx_g, tx_d
+
+
+def _fold_bn_stats(params: dict, stats: dict, momentum: float = 0.1) -> dict:
+    """Apply captured batch statistics to the running stats at `path`."""
+    for path, (mean, var) in stats.items():
+        bn = tree_get(params, path)
+        tree_set(params, path, update_running_stats(bn, mean, var, momentum))
+    return params
+
+
+def make_train_step(
+    tx_g: optax.GradientTransformation,
+    tx_d: optax.GradientTransformation,
+    weights: LossWeights = LossWeights(),
+    vgg_params: Optional[dict] = None,
+    compute_dtype=jnp.float32,
+    update_bn_stats: bool = True,
+):
+    """Build the jitted (donated-state) alternating train step."""
+
+    def g_loss_fn(g_params, d_params, haze, gt):
+        stats: dict = {}
+        x_hat = fdgan.apply(g_params, haze.astype(compute_dtype), stats_out=stats)
+        loss, terms = generator_loss(d_params, x_hat, gt.astype(compute_dtype), weights, vgg_params)
+        return loss, (terms, stats, x_hat)
+
+    def d_loss_fn(d_params, x_hat, gt):
+        loss, terms = discriminator_loss(d_params, x_hat, gt.astype(compute_dtype))
+        return loss, terms
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, haze: jax.Array, gt: jax.Array, rng: jax.Array):
+        # --- G update ---
+        (g_loss, (g_terms, bn_stats, x_hat)), g_grads = jax.value_and_grad(
+            g_loss_fn, has_aux=True
+        )(state.g_params, state.d_params, haze, gt)
+        g_updates, g_opt = tx_g.update(g_grads, state.g_opt, state.g_params)
+        g_params = optax.apply_updates(state.g_params, g_updates)
+        if update_bn_stats:
+            g_params = _fold_bn_stats(g_params, bn_stats)
+
+        # --- D update (on the pre-update G output, detached) ---
+        (d_loss_v, d_terms), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
+            state.d_params, jax.lax.stop_gradient(x_hat), gt
+        )
+        d_updates, d_opt = tx_d.update(d_grads, state.d_opt, state.d_params)
+        d_params = optax.apply_updates(state.d_params, d_updates)
+
+        new_state = TrainState(
+            step=state.step + 1,
+            g_params=g_params,
+            d_params=d_params,
+            g_opt=g_opt,
+            d_opt=d_opt,
+        )
+        metrics = {f"g_{k}": v for k, v in g_terms.items()}
+        metrics.update({k: v for k, v in d_terms.items()})
+        return new_state, metrics
+
+    return train_step
