@@ -1,0 +1,87 @@
+"""Benchmark: batched FDGAN dehazing throughput at 512², bf16, on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is relative to the BASELINE.json north-star of 1e3 images/sec/chip
+at 512² (the reference publishes no numbers of its own — SURVEY.md §6).
+
+Methodology notes (this environment's TPU is reached through a tunnel with
+~100 ms per-dispatch latency and a `block_until_ready` that does not actually
+block on the experimental axon platform):
+* the timed loop runs ON DEVICE via lax.fori_loop — one dispatch total
+* every iteration depends on the loop carry, so XLA cannot elide work
+* the final scalar fetch is the only host sync; its ~0.1 s cost is amortised
+  over the iteration count
+* a persistent compilation cache keeps recompiles out of repeat runs
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from functools import partial
+
+
+def _setup_cache():
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
+def bench(batch: int = 8, size: int = 512, iters: int = 20) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from fdgan_tpu.models import fdgan
+    from fdgan_tpu.nn.tree import cast_tree
+
+    params = cast_tree(fdgan.init(jax.random.PRNGKey(0)), jnp.bfloat16)
+
+    @partial(jax.jit, static_argnums=(2,))
+    def loop(p, x, n):
+        def body(i, carry):
+            # carry feeds back into the input: iterations are serialised and
+            # cannot be CSE'd or dead-code-eliminated
+            y = fdgan.apply(p, x + carry * jnp.asarray(1e-6, x.dtype))
+            return jnp.max(jnp.abs(y)).astype(x.dtype)
+
+        return jax.lax.fori_loop(0, n, body, jnp.zeros((), x.dtype))
+
+    x = jax.random.uniform(jax.random.PRNGKey(1), (batch, size, size, 3), jnp.bfloat16)
+    float(loop(params, x, iters))  # compile + warm
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(loop(params, x, iters))  # single dispatch, single sync
+        best = min(best, time.perf_counter() - t0)
+    imgs_per_sec = batch * iters / best
+    return {
+        "metric": f"images/sec/chip @{size}x{size} bf16 batch={batch}",
+        "value": round(imgs_per_sec, 2),
+        "unit": "img/s",
+        "vs_baseline": round(imgs_per_sec / 1000.0, 4),
+    }
+
+
+def main():
+    _setup_cache()
+    last_err = None
+    result = None
+    for batch in (8, 4, 2, 1):
+        try:
+            result = bench(batch=batch)
+            break
+        except Exception as e:  # OOM backoff
+            last_err = e
+    if result is None:
+        raise SystemExit(f"bench failed at all batch sizes: {last_err}")
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,54 @@
+"""Shared CLI utilities: image save (torchvision-free), checkpoint loading
+from either .pth (reference) or .msgpack (native), profiling context."""
+
+from __future__ import annotations
+
+import contextlib
+import os
+from typing import Optional
+
+import numpy as np
+
+
+def save_image_normalized(arr_hwc: np.ndarray, path: str) -> None:
+    """`vutils.save_image(..., normalize=True, scale_each=False)` semantics
+    (demo.py:151): min/max-normalise the tensor to [0,1], then write 8-bit."""
+    from PIL import Image
+
+    a = np.asarray(arr_hwc, np.float32)
+    lo, hi = float(a.min()), float(a.max())
+    a = (a - lo) / max(hi - lo, 1e-5)
+    img = (a * 255.0 + 0.5).clip(0, 255).astype(np.uint8)
+    Image.fromarray(img).save(path)
+
+
+def load_generator_params(path: str, dtype=None):
+    """Load FDGAN params from a reference .pth or a native .msgpack."""
+    import jax
+    import jax.numpy as jnp
+
+    from fdgan_tpu.models import fdgan
+
+    dtype = dtype or jnp.float32
+    if path.endswith(".pth") or path.endswith(".pt"):
+        from fdgan_tpu.io.torch_import import convert_fdgan_checkpoint
+
+        return convert_fdgan_checkpoint(path, dtype=dtype)
+    from fdgan_tpu.io.checkpoint import load_checkpoint
+
+    template = fdgan.init(jax.random.PRNGKey(0), dtype)
+    return load_checkpoint(path, template)
+
+
+@contextlib.contextmanager
+def maybe_profile(profile_dir: Optional[str]):
+    """jax.profiler trace wrapper — the upgrade over the reference's bare
+    wall-clock prints (demo.py:131-135)."""
+    if not profile_dir:
+        yield
+        return
+    import jax
+
+    os.makedirs(profile_dir, exist_ok=True)
+    with jax.profiler.trace(profile_dir):
+        yield

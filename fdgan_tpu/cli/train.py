@@ -1,0 +1,153 @@
+"""Training CLI — the reconstructed FD-GAN adversarial loop (SURVEY.md §3.4;
+the reference never published its train script). Flag names follow the
+reference's conventions (demo.py:28-51) plus loss-weight flags for the
+unpublished weights (SURVEY.md §7.3 hard part #4).
+
+Runs data-parallel over all visible devices via a jax.sharding Mesh; bf16
+compute optional; per-epoch native checkpoints with resume.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser()
+    p.add_argument("--dataset", default="pix2pix")
+    p.add_argument("--dataroot", default="", help="path to train dataset")
+    p.add_argument("--valDataroot", default="")
+    p.add_argument("--batchSize", type=int, default=8)
+    p.add_argument("--originalSize", type=int, default=286)
+    p.add_argument("--imageSize", type=int, default=256)
+    p.add_argument("--epochs", type=int, default=100)
+    p.add_argument("--lrD", type=float, default=0.0002)
+    p.add_argument("--lrG", type=float, default=0.0002)
+    p.add_argument("--beta1", type=float, default=0.5)
+    p.add_argument("--annealStart", type=int, default=0)
+    p.add_argument("--annealEvery", type=int, default=400)
+    p.add_argument("--netG", default="", help="resume generator checkpoint")
+    p.add_argument("--netD", default="", help="resume discriminator checkpoint")
+    p.add_argument("--workers", type=int, default=2)
+    p.add_argument("--exp", default="./checkpoints_fdgan")
+    p.add_argument("--display", type=int, default=5)
+    p.add_argument("--evalIter", type=int, default=500)
+    p.add_argument("--seed", type=int, default=0)
+    # loss weights (unpublished in the reference — exposed as flags)
+    p.add_argument("--lambdaAdv", type=float, default=1.0)
+    p.add_argument("--lambdaPixel", type=float, default=100.0)
+    p.add_argument("--pixelNorm", choices=["l1", "mse"], default="l1")
+    p.add_argument("--lambdaPerceptual", type=float, default=1.0)
+    p.add_argument("--lambdaSSIM", type=float, default=1.0)
+    p.add_argument("--lambdaCX", type=float, default=0.0)
+    p.add_argument("--vggWeights", default="", help=".pth VGG16 weights (perceptual loss off if empty)")
+    # TPU-native knobs
+    p.add_argument("--precision", choices=["fp32", "bf16"], default="fp32")
+    p.add_argument("--poolSize", type=int, default=50)
+    p.add_argument("--logEvery", type=int, default=10)
+    p.add_argument("--debugNans", action="store_true", help="enable jax_debug_nans NaN screen")
+    return p
+
+
+def main(argv=None):
+    opt = build_parser().parse_args(argv)
+    print(opt)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    if opt.debugNans:
+        jax.config.update("jax_debug_nans", True)
+
+    from fdgan_tpu.data import get_loader
+    from fdgan_tpu.dist.mesh import make_mesh, shard_batch, shard_params
+    from fdgan_tpu.io.checkpoint import latest_checkpoint, load_checkpoint, save_checkpoint
+    from fdgan_tpu.losses.composite import LossWeights
+    from fdgan_tpu.train.loop import create_train_state, make_train_step
+    from fdgan_tpu.train.meters import AverageMeter, MetricLogger, create_exp_dir
+
+    create_exp_dir(opt.exp)
+    rng = jax.random.PRNGKey(opt.seed)
+
+    loader = get_loader(
+        opt.dataset,
+        opt.dataroot,
+        opt.originalSize,
+        opt.imageSize,
+        batch_size=opt.batchSize,
+        workers=opt.workers,
+        split="train",
+        shuffle=True,
+        seed=opt.seed,
+    )
+
+    state, tx_g, tx_d = create_train_state(
+        rng,
+        lr_g=opt.lrG,
+        lr_d=opt.lrD,
+        beta1=opt.beta1,
+        decay_every=opt.annealEvery if opt.annealStart else 0,
+    )
+
+    # resume: native checkpoint dir or reference .pth
+    if opt.netG:
+        from fdgan_tpu.cli._common import load_generator_params
+
+        state.g_params = load_generator_params(opt.netG)
+    ckpt = latest_checkpoint(opt.exp)
+    if ckpt:
+        state = load_checkpoint(ckpt, state)
+        print(f"resumed from {ckpt} at step {int(state.step)}")
+
+    vgg_params = None
+    if opt.vggWeights:
+        from fdgan_tpu.io.torch_import import convert_vgg16
+
+        vgg_params = convert_vgg16(opt.vggWeights)
+
+    weights = LossWeights(
+        adv=opt.lambdaAdv,
+        pixel=opt.lambdaPixel,
+        pixel_norm=opt.pixelNorm,
+        perceptual=opt.lambdaPerceptual,
+        ssim=opt.lambdaSSIM,
+        contextual=opt.lambdaCX,
+    )
+    compute_dtype = jnp.bfloat16 if opt.precision == "bf16" else jnp.float32
+    train_step = make_train_step(tx_g, tx_d, weights, vgg_params, compute_dtype)
+
+    # data-parallel mesh over all devices
+    mesh = make_mesh()
+    state = jax.tree.map(lambda x: x, state)  # materialise
+    state.g_params = shard_params(state.g_params, mesh)
+    state.d_params = shard_params(state.d_params, mesh)
+
+    logger = MetricLogger(os.path.join(opt.exp, "train_log.jsonl"), opt.logEvery)
+    meter = AverageMeter()
+    step_rng = jax.random.PRNGKey(opt.seed + 1)
+
+    for epoch in range(opt.epochs):
+        t_epoch = time.time()
+        for haze, gt in loader:
+            if haze.shape[0] % mesh.devices.size != 0:
+                continue  # DP requires divisible batch
+            batch = shard_batch((haze, gt), mesh)
+            step_rng, sub = jax.random.split(step_rng)
+            state, metrics = train_step(state, batch[0], batch[1], sub)
+            step = int(state.step)
+            if step % opt.logEvery == 0:
+                m = {k: float(v) for k, v in metrics.items()}
+                m["imgs_per_sec"] = haze.shape[0] * opt.logEvery / max(time.time() - getattr(main, "_t0", time.time()), 1e-9)
+                main._t0 = time.time()
+                logger.log(step, m)
+                meter.update(m.get("g_total", 0.0))
+        save_checkpoint(opt.exp, state, step=int(state.step))
+        print(f"epoch {epoch} done in {time.time() - t_epoch:.1f}s; avg g_loss {meter.avg:.4f}")
+    logger.close()
+
+
+if __name__ == "__main__":
+    main()

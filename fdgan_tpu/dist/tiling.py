@@ -62,7 +62,9 @@ def tiled_apply(
     th = min(tile, h)
     tw = min(tile, w)
 
-    out = jnp.zeros((b, h, w, c), x.dtype)
+    # output channel count/dtype comes from fn, not the input
+    out_spec = jax.eval_shape(fn, jax.ShapeDtypeStruct((b, th, tw, c), x.dtype))
+    out = jnp.zeros((b, h, w, out_spec.shape[-1]), out_spec.dtype)
     for y0 in ys:
         for x0 in xs:
             patch = jax.lax.dynamic_slice(x, (0, y0, x0, 0), (b, th, tw, x.shape[3]))

@@ -24,8 +24,9 @@ def save_checkpoint(path: str, tree: Any, step: Optional[int] = None) -> str:
     if step is not None and (os.path.isdir(path) or not path.endswith(".msgpack")):
         os.makedirs(path, exist_ok=True)
         path = os.path.join(path, f"ckpt_{step}.msgpack")
-    tree = jax.tree.map(lambda x: jax.device_get(x), tree)
-    data = serialization.to_bytes(tree)
+    # flatten to leaves so any registered pytree (e.g. TrainState) serialises
+    leaves = [jax.device_get(x) for x in jax.tree.leaves(tree)]
+    data = serialization.msgpack_serialize({str(i): leaf for i, leaf in enumerate(leaves)})
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         f.write(data)
@@ -36,7 +37,14 @@ def save_checkpoint(path: str, tree: Any, step: Optional[int] = None) -> str:
 def load_checkpoint(path: str, target: Any) -> Any:
     """Restore into a template pytree of the right structure."""
     with open(path, "rb") as f:
-        return serialization.from_bytes(target, f.read())
+        flat = serialization.msgpack_restore(f.read())
+    leaves = [flat[str(i)] for i in range(len(flat))]
+    treedef = jax.tree.structure(target)
+    if treedef.num_leaves != len(leaves):
+        raise ValueError(
+            f"checkpoint has {len(leaves)} leaves, target expects {treedef.num_leaves}"
+        )
+    return jax.tree.unflatten(treedef, leaves)
 
 
 def latest_checkpoint(ckpt_dir: str) -> Optional[str]:

@@ -1,3 +1,19 @@
-from fdgan_tpu.models import blocks, dcpdn, densenet, discriminators, fdgan, vgg16
+from fdgan_tpu.models import (
+    blocks,
+    dcpdn,
+    densenet,
+    densenet_dehaze,
+    discriminators,
+    fdgan,
+    vgg16,
+)
 
-__all__ = ["blocks", "dcpdn", "densenet", "discriminators", "fdgan", "vgg16"]
+__all__ = [
+    "blocks",
+    "dcpdn",
+    "densenet",
+    "densenet_dehaze",
+    "discriminators",
+    "fdgan",
+    "vgg16",
+]

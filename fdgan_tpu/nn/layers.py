@@ -177,9 +177,11 @@ def update_running_stats(params: dict, mean: jax.Array, var: jax.Array, momentum
 def avg_pool(x: jax.Array, window: int, stride: Optional[int] = None) -> jax.Array:
     """Torch-style avg_pool2d: floor division on odd sizes, no padding."""
     stride = stride or window
+    # NB: literal 0. init — lax.reduce_window's autodiff rule pattern-matches
+    # the (add, 0) monoid; an array-valued init breaks reverse-mode
     y = lax.reduce_window(
         x,
-        jnp.zeros((), x.dtype),
+        0.0 if jnp.issubdtype(x.dtype, jnp.floating) else 0,
         lax.add,
         window_dimensions=(1, window, window, 1),
         window_strides=(1, stride, stride, 1),
@@ -193,7 +195,7 @@ def max_pool(x: jax.Array, window: int, stride: Optional[int] = None, padding: i
     pad = ((0, 0), (padding, padding), (padding, padding), (0, 0))
     return lax.reduce_window(
         x,
-        jnp.asarray(-jnp.inf, x.dtype) if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min,
+        -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min,
         lax.max,
         window_dimensions=(1, window, window, 1),
         window_strides=(1, stride, stride, 1),

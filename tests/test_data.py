@@ -1,0 +1,111 @@
+"""Data pipeline tests: h5 format parity, loader batching/shuffle/prefetch,
+paired transforms sharing crop/flip decisions."""
+
+import os
+
+import numpy as np
+import pytest
+
+from fdgan_tpu.data import DataLoader, PairedH5Dataset, get_loader
+from fdgan_tpu.data.h5 import ValH5Dataset
+from fdgan_tpu.data import transforms as T
+
+h5py = pytest.importorskip("h5py")
+
+
+@pytest.fixture
+def h5_root(tmp_path, np_rng):
+    for i in range(5):
+        gt = np_rng.uniform(0, 1, (16, 16, 3)).astype(np.float32)
+        haze = np.clip(gt + 0.2, 0, 1)
+        with h5py.File(tmp_path / f"{i}.h5", "w") as f:
+            f.create_dataset("gt", data=gt)
+            f.create_dataset("haze", data=haze)
+    return str(tmp_path)
+
+
+def test_dataset_format(h5_root):
+    ds = PairedH5Dataset(h5_root)
+    assert len(ds) == 5
+    haze, gt = ds[0]
+    assert haze.shape == (16, 16, 3) and gt.shape == (16, 16, 3)
+    assert haze.dtype == np.float32
+    # haze is the first element (network input), matching pix2pix.__getitem__
+    assert (haze >= gt).all()
+
+
+def test_val_dataset_keys(tmp_path, np_rng):
+    with h5py.File(tmp_path / "0.h5", "w") as f:
+        for k in ("haze", "gt", "trans", "ato"):
+            f.create_dataset(k, data=np_rng.uniform(0, 1, (8, 8, 3)).astype(np.float32))
+    ds = ValH5Dataset(str(tmp_path))
+    item = ds[0]
+    assert len(item) == 4
+
+
+def test_loader_batching(h5_root):
+    loader = DataLoader(PairedH5Dataset(h5_root), batch_size=2, shuffle=False, prefetch=0)
+    batches = list(loader)
+    assert len(batches) == 3  # 2+2+1
+    assert batches[0][0].shape == (2, 16, 16, 3)
+    assert batches[-1][0].shape == (1, 16, 16, 3)
+
+
+def test_loader_prefetch_equivalent(h5_root):
+    a = list(DataLoader(PairedH5Dataset(h5_root), batch_size=2, prefetch=0))
+    b = list(DataLoader(PairedH5Dataset(h5_root), batch_size=2, prefetch=2))
+    for (x1, y1), (x2, y2) in zip(a, b):
+        np.testing.assert_array_equal(x1, x2)
+
+
+def test_loader_shuffle_seeded(h5_root):
+    l1 = list(DataLoader(PairedH5Dataset(h5_root), batch_size=5, shuffle=True, seed=3, prefetch=0))
+    l2 = list(DataLoader(PairedH5Dataset(h5_root), batch_size=5, shuffle=True, seed=3, prefetch=0))
+    np.testing.assert_array_equal(l1[0][0], l2[0][0])
+
+
+def test_get_loader_dispatch(h5_root):
+    loader = get_loader("pix2pix", h5_root, 16, 16, batch_size=1, shuffle=False)
+    assert len(loader) == 5
+    with pytest.raises(ValueError):
+        get_loader("nope", h5_root, 16, 16)
+
+
+def test_random_crop_shares_coords(np_rng):
+    img_a = np.zeros((10, 10, 1), np.float32)
+    img_b = np.zeros((10, 10, 1), np.float32)
+    img_a[3, 4] = 1.0
+    img_b[3, 4] = 1.0
+    crop = T.RandomCrop(6)
+    for _ in range(10):
+        a, b = crop(img_a, img_b)
+        np.testing.assert_array_equal(a, b)  # identical crops → marker aligned
+
+
+def test_random_flip_shares_decision():
+    a = np.arange(12, dtype=np.float32).reshape(2, 2, 3)
+    b = a.copy()
+    flip = T.RandomHorizontalFlip()
+    for _ in range(10):
+        fa, fb = flip(a, b)
+        np.testing.assert_array_equal(fa, fb)
+
+
+def test_compose_and_normalize():
+    x = (np.ones((4, 4, 3)) * 128).astype(np.uint8)
+    t = T.Compose([T.ToArray(), T.Normalize((0.5, 0.5, 0.5), (0.5, 0.5, 0.5))])
+    a, b = t(x, x)
+    assert a.dtype == np.float32
+    np.testing.assert_allclose(a, (128 / 255 - 0.5) / 0.5, atol=1e-6)
+
+
+def test_scale_keeps_aspect():
+    img = np.zeros((20, 10, 3), np.float32)
+    (out,) = T.Scale(5)(img)
+    assert out.shape == (10, 5, 3)
+
+
+def test_center_crop():
+    img = np.zeros((10, 10, 3), np.float32)
+    (out,) = T.CenterCrop(6)(img)
+    assert out.shape == (6, 6, 3)

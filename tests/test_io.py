@@ -1,0 +1,94 @@
+"""Checkpoint + importer tests: native save/load round trip, latest-ckpt
+resolution, torch .pth import with module. prefix handling."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from fdgan_tpu.io.checkpoint import latest_checkpoint, load_checkpoint, save_checkpoint
+from fdgan_tpu.io.torch_import import convert_state_dict, load_torch_state_dict
+from fdgan_tpu.models.discriminators import nlayer_init
+
+
+def test_checkpoint_roundtrip(tmp_path, rng):
+    params = nlayer_init(rng, input_nc=9)
+    path = save_checkpoint(str(tmp_path / "p.msgpack"), params)
+    restored = load_checkpoint(path, nlayer_init(jax.random.PRNGKey(1), input_nc=9))
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(restored)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_checkpoint_step_naming(tmp_path, rng):
+    params = {"w": jnp.ones((3,))}
+    save_checkpoint(str(tmp_path), params, step=3)
+    save_checkpoint(str(tmp_path), params, step=12)
+    latest = latest_checkpoint(str(tmp_path))
+    assert latest.endswith("ckpt_12.msgpack")
+
+
+def test_torch_pth_import_with_dataparallel_prefix(tmp_path, rng):
+    """Write a .pth with `module.` prefixes like the reference checkpoints
+    (demo.py:78-86) and import it."""
+    torch = pytest.importorskip("torch")
+
+    conv = torch.nn.Conv2d(3, 8, 3, padding=1)
+    bn = torch.nn.BatchNorm2d(8)
+    state = {}
+    for k, v in conv.state_dict().items():
+        state[f"module.conv.{k}"] = v
+    for k, v in bn.state_dict().items():
+        state[f"module.bn.{k}"] = v
+    p = tmp_path / "net.pth"
+    torch.save(state, str(p))
+
+    loaded = load_torch_state_dict(str(p))
+    assert "conv.weight" in loaded and "bn.running_mean" in loaded
+
+    from fdgan_tpu.nn.layers import batch_norm_init, conv2d_init
+
+    target = {
+        "conv": conv2d_init(rng, 3, 8, 3),
+        "bn": batch_norm_init(8),
+    }
+    params = convert_state_dict(loaded, target)
+    np.testing.assert_allclose(
+        np.asarray(params["conv"]["kernel"]),
+        conv.weight.detach().numpy().transpose(2, 3, 1, 0),
+        atol=1e-6,
+    )
+    np.testing.assert_allclose(np.asarray(params["bn"]["mean"]), bn.running_mean.numpy(), atol=1e-6)
+
+
+def test_convert_rejects_bad_shapes(rng):
+    from fdgan_tpu.nn.layers import conv2d_init
+
+    target = {"conv": conv2d_init(rng, 3, 8, 3)}
+    bad = {"conv.weight": np.zeros((5, 5, 2, 2), np.float32)}
+    with pytest.raises(ValueError):
+        convert_state_dict(bad, target)
+
+
+def test_convert_strict_missing_key(rng):
+    from fdgan_tpu.nn.layers import conv2d_init
+
+    target = {"conv": conv2d_init(rng, 3, 8, 3)}
+    orphan = {"nonexistent.weight": np.zeros((8, 3, 3, 3), np.float32)}
+    with pytest.raises(KeyError):
+        convert_state_dict(orphan, target, strict=True)
+    # non-strict silently skips
+    convert_state_dict(orphan, target, strict=False)
+
+
+def test_train_state_checkpoint_roundtrip(tmp_path):
+    from fdgan_tpu.train.loop import create_train_state
+
+    state, _, _ = create_train_state(jax.random.PRNGKey(0))
+    path = save_checkpoint(str(tmp_path / "state.msgpack"), state)
+    state2, _, _ = create_train_state(jax.random.PRNGKey(1))
+    restored = load_checkpoint(path, state2)
+    np.testing.assert_allclose(
+        np.asarray(state.g_params["conv_refin1"]["kernel"]),
+        np.asarray(restored.g_params["conv_refin1"]["kernel"]),
+    )
