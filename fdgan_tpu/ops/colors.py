@@ -12,19 +12,22 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-# ITU-R BT.601 (skimage yuv/ycbcr conventions)
-_RGB2YUV = jnp.array(
+import numpy as np
+
+# ITU-R BT.601 (skimage yuv/ycbcr conventions); numpy at module scope so
+# importing never touches a device backend
+_RGB2YUV = np.array(
     [[0.299, 0.587, 0.114],
      [-0.14714119, -0.28886916, 0.43601035],
      [0.61497538, -0.51496512, -0.10001026]]
 )
-_RGB2XYZ = jnp.array(
+_RGB2XYZ = np.array(
     [[0.412453, 0.357580, 0.180423],
      [0.212671, 0.715160, 0.072169],
      [0.019334, 0.119193, 0.950227]]
 )
 # D65 reference white
-_XYZ_REF_WHITE = jnp.array([0.95047, 1.0, 1.08883])
+_XYZ_REF_WHITE = np.array([0.95047, 1.0, 1.08883])
 
 
 def _matmul_last(x: jax.Array, m: jax.Array) -> jax.Array:
@@ -36,7 +39,7 @@ def rgb2yuv(x: jax.Array) -> jax.Array:
 
 
 def yuv2rgb(x: jax.Array) -> jax.Array:
-    return _matmul_last(x, jnp.linalg.inv(_RGB2YUV))
+    return _matmul_last(x, np.linalg.inv(_RGB2YUV))
 
 
 def rgb2ycbcr(x: jax.Array) -> jax.Array:
@@ -64,7 +67,7 @@ def rgb2xyz(x: jax.Array) -> jax.Array:
 
 
 def xyz2rgb(x: jax.Array) -> jax.Array:
-    x = _matmul_last(x, jnp.linalg.inv(_RGB2XYZ))
+    x = _matmul_last(x, np.linalg.inv(_RGB2XYZ))
     mask = x > 0.0031308
     x = jnp.where(mask, 1.055 * jnp.maximum(x, 1e-8) ** (1 / 2.4) - 0.055, 12.92 * x)
     return jnp.clip(x, 0.0, 1.0)
