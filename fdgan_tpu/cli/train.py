@@ -117,7 +117,15 @@ def main(argv=None):
         contextual=opt.lambdaCX,
     )
     compute_dtype = jnp.bfloat16 if opt.precision == "bf16" else jnp.float32
-    train_step = make_train_step(tx_g, tx_d, weights, vgg_params, compute_dtype)
+    use_pool = opt.poolSize > 0
+    if use_pool:
+        from fdgan_tpu.train.loop import make_gd_steps
+        from fdgan_tpu.train.pool import ImagePool
+
+        g_step, d_step = make_gd_steps(tx_g, tx_d, weights, vgg_params, compute_dtype)
+        pool = ImagePool(opt.poolSize, seed=opt.seed)
+    else:
+        train_step = make_train_step(tx_g, tx_d, weights, vgg_params, compute_dtype)
 
     # data-parallel mesh over all devices
     mesh = make_mesh()
@@ -136,7 +144,13 @@ def main(argv=None):
                 continue  # DP requires divisible batch
             batch = shard_batch((haze, gt), mesh)
             step_rng, sub = jax.random.split(step_rng)
-            state, metrics = train_step(state, batch[0], batch[1], sub)
+            if use_pool:
+                state, metrics, x_hat = g_step(state, batch[0], batch[1])
+                fake = pool.query(jax.lax.stop_gradient(x_hat))  # tanh range, remapped inside d loss
+                state, d_metrics = d_step(state, fake, batch[1])
+                metrics = {**metrics, **d_metrics}
+            else:
+                state, metrics = train_step(state, batch[0], batch[1], sub)
             step = int(state.step)
             if step % opt.logEvery == 0:
                 m = {k: float(v) for k, v in metrics.items()}

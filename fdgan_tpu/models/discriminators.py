@@ -103,12 +103,22 @@ def nlayer_apply(
     return h
 
 
-def fusion_apply(params: dict, x: jax.Array, bn: Optional[BNCtx] = None) -> jax.Array:
+def fusion_apply(
+    params: dict, x: jax.Array, bn: Optional[BNCtx] = None, impl: str = "xla"
+) -> jax.Array:
     """Fusion-discriminator: D(concat[RGB, GaussianBlur₁₅,σ₃(x), Laplacian₃(x)]).
 
     This is the FD-GAN 'fusion-discriminator with frequency priors': the
-    9-channel decomposition (SURVEY.md §2.9) feeding the PatchGAN body."""
-    return nlayer_apply(params, frequency_fuse(x), bn)
+    9-channel decomposition (SURVEY.md §2.9) feeding the PatchGAN body.
+    ``impl='pallas'`` uses the fused single-pass TPU kernel
+    (ops/pallas_filters.py)."""
+    if impl == "pallas":
+        from fdgan_tpu.ops.pallas_filters import frequency_fuse_pallas
+
+        fused = frequency_fuse_pallas(x)
+    else:
+        fused = frequency_fuse(x)
+    return nlayer_apply(params, fused, bn)
 
 
 # ---------------------------------------------------------------------------

@@ -131,3 +131,59 @@ def make_train_step(
         return new_state, metrics
 
     return train_step
+
+
+def make_gd_steps(
+    tx_g: optax.GradientTransformation,
+    tx_d: optax.GradientTransformation,
+    weights: LossWeights = LossWeights(),
+    vgg_params: Optional[dict] = None,
+    compute_dtype=jnp.float32,
+    update_bn_stats: bool = True,
+):
+    """Split G/D steps for ImagePool-style training (misc.py:140-161): the
+    G step returns the generated batch; the host pools it and feeds a
+    (possibly historical) fake batch to the D step."""
+
+    def g_loss_fn(g_params, d_params, haze, gt):
+        stats: dict = {}
+        x_hat = fdgan.apply(g_params, haze.astype(compute_dtype), stats_out=stats)
+        loss, terms = generator_loss(d_params, x_hat, gt.astype(compute_dtype), weights, vgg_params)
+        return loss, (terms, stats, x_hat)
+
+    @jax.jit
+    def g_step(state: TrainState, haze: jax.Array, gt: jax.Array):
+        (g_loss, (terms, bn_stats, x_hat)), grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
+            state.g_params, state.d_params, haze, gt
+        )
+        updates, g_opt = tx_g.update(grads, state.g_opt, state.g_params)
+        g_params = optax.apply_updates(state.g_params, updates)
+        if update_bn_stats:
+            g_params = _fold_bn_stats(g_params, bn_stats)
+        new_state = TrainState(
+            step=state.step + 1,
+            g_params=g_params,
+            d_params=state.d_params,
+            g_opt=g_opt,
+            d_opt=state.d_opt,
+        )
+        return new_state, {f"g_{k}": v for k, v in terms.items()}, x_hat
+
+    @jax.jit
+    def d_step(state: TrainState, fake: jax.Array, gt: jax.Array):
+        def loss_fn(d_params):
+            return discriminator_loss(d_params, fake, gt.astype(compute_dtype))
+
+        (loss, terms), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.d_params)
+        updates, d_opt = tx_d.update(grads, state.d_opt, state.d_params)
+        d_params = optax.apply_updates(state.d_params, updates)
+        new_state = TrainState(
+            step=state.step,
+            g_params=state.g_params,
+            d_params=d_params,
+            g_opt=state.g_opt,
+            d_opt=d_opt,
+        )
+        return new_state, terms
+
+    return g_step, d_step
