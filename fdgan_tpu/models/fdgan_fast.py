@@ -1,0 +1,135 @@
+"""Inference-optimised FDGAN forward — mathematically identical to
+``fdgan.apply`` (tests assert equality), restructured for XLA on TPU:
+
+1. **Incremental BN statistics.** In batch mode every dense layer's norm1
+   normalises the growing concat, and the reference path recomputes
+   mean/var over all C channels per layer — an extra full read of the
+   concat each time. But batch statistics are *data* statistics: channels
+   of the concat partition into segments (block input + each layer's 32-ch
+   output), so each segment's statistics are computed once when produced
+   and reused by every later layer and by the transition BN. Each BN then
+   becomes a per-channel affine that XLA folds into the following conv.
+2. **Padded stem.** conv_refin1 consumes 3-channel input — a pathological
+   lane count (measured 65 GB/s). The input is zero-padded to 8 channels
+   with matching zero kernel rows (bit-identical output).
+
+Profiling context in tools/probe_convs.py; the per-layer statistics pass
+costs ~1-2.5 ms each across 42 dense layers at 512².
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from fdgan_tpu.models.blocks import bottleneck_apply, transition_apply
+from fdgan_tpu.nn.layers import avg_pool, conv2d, relu, tanh
+
+_EPS = 1e-5
+
+
+def _fold(norm: dict, mean: jax.Array, var: jax.Array, dtype) -> Tuple[jax.Array, jax.Array]:
+    a = norm["scale"].astype(jnp.float32) * jax.lax.rsqrt(var.astype(jnp.float32) + _EPS)
+    b = norm["bias"].astype(jnp.float32) - mean.astype(jnp.float32) * a
+    return a.astype(dtype), b.astype(dtype)
+
+
+def _stats(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    xf = x.astype(jnp.float32)
+    return jnp.mean(xf, axis=(0, 1, 2)), jnp.var(xf, axis=(0, 1, 2))
+
+
+class _SegStats:
+    """Per-channel statistics of a concat, maintained segment-wise."""
+
+    def __init__(self, x: jax.Array, mode: str, norm: Optional[dict] = None):
+        self.mode = mode
+        if mode == "batch":
+            self.mean, self.var = _stats(x)
+        else:
+            self.mean = self.var = None  # running mode reads per-layer params
+
+    def append(self, f: jax.Array):
+        if self.mode == "batch":
+            m, v = _stats(f)
+            self.mean = jnp.concatenate([self.mean, m])
+            self.var = jnp.concatenate([self.var, v])
+
+    def fold(self, norm: dict, dtype):
+        if self.mode == "batch":
+            return _fold(norm, self.mean, self.var, dtype)
+        return _fold(norm, norm["mean"], norm["var"], dtype)
+
+
+def _dense_layer_fast(lp: dict, x: jax.Array, stats: _SegStats) -> jax.Array:
+    a1, b1 = stats.fold(lp["norm1"], x.dtype)
+    t = relu(x * a1 + b1)
+    h = conv2d(lp["conv1"], t, padding=0)
+    if stats.mode == "batch":
+        m2, v2 = _stats(h)
+        a2, b2 = _fold(lp["norm2"], m2, v2, x.dtype)
+    else:
+        a2, b2 = _fold(lp["norm2"], lp["norm2"]["mean"], lp["norm2"]["var"], x.dtype)
+    g = relu(h * a2 + b2)
+    return conv2d(lp["conv2"], g, padding=1)
+
+
+def _dense_block_fast(params: dict, x: jax.Array, stats: _SegStats) -> Tuple[jax.Array, _SegStats]:
+    for i in range(len(params)):
+        f = _dense_layer_fast(params[f"denselayer{i + 1}"], x, stats)
+        stats.append(f)
+        x = jnp.concatenate([x, f], axis=-1)
+    return x, stats
+
+
+def _transition_fast(params: dict, x: jax.Array, stats: _SegStats) -> jax.Array:
+    a, b = stats.fold(params["norm"], x.dtype)
+    h = conv2d(params["conv"], relu(x * a + b), padding=0)
+    return avg_pool(h, 2)
+
+
+def _stem(params: dict, x: jax.Array) -> jax.Array:
+    """conv_refin1 with the input and kernel zero-padded 3→8 channels."""
+    k = params["conv_refin1"]["kernel"]  # (3,3,3,64)
+    kp = jnp.pad(k, ((0, 0), (0, 0), (0, 5), (0, 0)))
+    xp = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, 5)))
+    y = jax.lax.conv_general_dilated(
+        xp, kp.astype(x.dtype), (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return relu(y + params["conv_refin1"]["bias"].astype(y.dtype))
+
+
+def apply(params: dict, x: jax.Array, bn_mode: str = "batch") -> jax.Array:
+    """Optimised FDGAN forward; same outputs as fdgan.apply (fp tolerance)."""
+    x0 = _stem(params, x)
+    x01 = conv2d(params["conv_refin2"], avg_pool(x0, 2), padding=0)
+
+    s1 = _SegStats(x0, bn_mode)
+    x1, s1 = _dense_block_fast(params["dense_block1"], x0, s1)
+    x1 = _transition_fast(params["trans_block1"], x1, s1)
+
+    x10 = conv2d(params["conv_refine4"], jnp.concatenate([x01, x1], axis=-1), padding=1)
+    s2 = _SegStats(x10, bn_mode)
+    x2, s2 = _dense_block_fast(params["dense_block2"], x10, s2)
+    x2 = _transition_fast(params["trans_block2"], x2, s2)
+
+    s3 = _SegStats(x2, bn_mode)
+    x3, s3 = _dense_block_fast(params["dense_block3"], x2, s3)
+    x3 = _transition_fast(params["trans_block3"], x3, s3)
+    x22 = conv2d(params["conv_refin5"], avg_pool(x2, 2), padding=0)
+
+    x4 = conv2d(params["conv_refin6"], jnp.concatenate([x3, x22], axis=-1), padding=1)
+    x4 = bottleneck_apply(params["dense_block4"], x4, use_bn=False)
+    x4 = transition_apply(params["trans_block4"], x4, resize="up2", use_bn=False)
+
+    x42 = jnp.concatenate([x4, x2], axis=-1)
+    x5 = bottleneck_apply(params["dense_block5"], x42, use_bn=False)
+    x5 = transition_apply(params["trans_block5"], x5, resize="up2", use_bn=False)
+
+    x6 = bottleneck_apply(params["dense_block6"], x5, use_bn=False)
+    x6 = transition_apply(params["trans_block6"], x6, resize="up2", use_bn=False)
+
+    return tanh(conv2d(params["conv_refin3"], x6, padding=1))

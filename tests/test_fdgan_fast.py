@@ -1,0 +1,35 @@
+"""fdgan_fast must be numerically identical (fp tolerance) to fdgan.apply in
+both BN modes."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from fdgan_tpu.models import fdgan, fdgan_fast
+
+
+def test_fast_matches_reference_batch(rng, np_rng):
+    params = fdgan.init(rng)
+    x = jnp.asarray(np_rng.uniform(-1, 1, (2, 32, 32, 3)).astype(np.float32))
+    ref = np.asarray(fdgan.apply(params, x, bn_mode="batch"))
+    got = np.asarray(fdgan_fast.apply(params, x, bn_mode="batch"))
+    np.testing.assert_allclose(got, ref, atol=5e-5, rtol=1e-4)
+
+
+def test_fast_matches_reference_running(rng, np_rng):
+    params = fdgan.init(rng)
+    # perturb running stats so the mode is distinguishable
+    def bump(d, key):
+        for k, v in d.items():
+            if isinstance(v, dict):
+                bump(v, key)
+            elif k == "mean":
+                d[k] = v + 0.05
+            elif k == "var":
+                d[k] = v * 1.1
+    bump(params, None)
+    x = jnp.asarray(np_rng.uniform(-1, 1, (1, 32, 32, 3)).astype(np.float32))
+    ref = np.asarray(fdgan.apply(params, x, bn_mode="running"))
+    got = np.asarray(fdgan_fast.apply(params, x, bn_mode="running"))
+    np.testing.assert_allclose(got, ref, atol=5e-5, rtol=1e-4)
