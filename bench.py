@@ -37,7 +37,7 @@ def bench(batch: int = 8, size: int = 512, iters: int = 20) -> dict:
     import jax
     import jax.numpy as jnp
 
-    from fdgan_tpu.models import fdgan
+    from fdgan_tpu.models import fdgan, fdgan_fast
     from fdgan_tpu.nn.tree import cast_tree
 
     params = cast_tree(fdgan.init(jax.random.PRNGKey(0)), jnp.bfloat16)
@@ -47,7 +47,7 @@ def bench(batch: int = 8, size: int = 512, iters: int = 20) -> dict:
         def body(i, carry):
             # carry feeds back into the input: iterations are serialised and
             # cannot be CSE'd or dead-code-eliminated
-            y = fdgan.apply(p, x + carry * jnp.asarray(1e-6, x.dtype))
+            y = fdgan_fast.apply(p, x + carry * jnp.asarray(1e-6, x.dtype))
             return jnp.max(jnp.abs(y)).astype(x.dtype)
 
         return jax.lax.fori_loop(0, n, body, jnp.zeros((), x.dtype))

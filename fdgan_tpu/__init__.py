@@ -12,4 +12,4 @@ and Pallas kernels for the depthwise frequency-filter hot path.
 
 __version__ = "0.1.0"
 
-from fdgan_tpu import nn, ops, models, losses, data, train, dist, io  # noqa: F401
+from fdgan_tpu import nn, ops, models, losses, data, train, dist, io, utils  # noqa: F401

@@ -57,7 +57,7 @@ def main(argv=None):
 
     from fdgan_tpu.cli._common import load_generator_params, maybe_profile, save_image_normalized
     from fdgan_tpu.data import get_loader
-    from fdgan_tpu.models import fdgan
+    from fdgan_tpu.models import fdgan, fdgan_fast
 
     loader = get_loader(
         opt.dataset,
@@ -80,7 +80,7 @@ def main(argv=None):
 
     @jax.jit
     def fwd(p, x):
-        return fdgan.apply(p, x.astype(compute_dtype), bn_mode=opt.bn_mode).astype(jnp.float32)
+        return fdgan_fast.apply(p, x.astype(compute_dtype), bn_mode=opt.bn_mode).astype(jnp.float32)
 
     if opt.tile:
         from fdgan_tpu.dist.tiling import tiled_apply

@@ -127,9 +127,14 @@ def main(argv=None):
     else:
         train_step = make_train_step(tx_g, tx_d, weights, vgg_params, compute_dtype)
 
-    # data-parallel mesh over all devices
-    mesh = make_mesh()
-    state = jax.tree.map(lambda x: x, state)  # materialise
+    # data-parallel mesh over the largest device count that divides the batch
+    n_dev = len(jax.devices())
+    n_data = n_dev
+    while opt.batchSize % n_data:
+        n_data -= 1
+    mesh = make_mesh(n_data=n_data, devices=jax.devices()[:n_data])
+    if n_data < n_dev:
+        print(f"note: batchSize {opt.batchSize} not divisible by {n_dev} devices; using {n_data}")
     state.g_params = shard_params(state.g_params, mesh)
     state.d_params = shard_params(state.d_params, mesh)
 
@@ -137,11 +142,35 @@ def main(argv=None):
     meter = AverageMeter()
     step_rng = jax.random.PRNGKey(opt.seed + 1)
 
+    val_loader = None
+    if opt.valDataroot:
+        val_loader = get_loader(
+            opt.dataset, opt.valDataroot, opt.imageSize, opt.imageSize,
+            batch_size=1, workers=1, split="val", shuffle=False,
+        )
+
+    def evaluate(g_params):
+        """PSNR/SSIM on the val set with the current generator (evalIter hook,
+        reference flag demo.py:50)."""
+        from fdgan_tpu.models import fdgan_fast
+        from fdgan_tpu.ops.metrics import psnr
+        from fdgan_tpu.ops.ssim import ssim as ssim_fn
+
+        fwd = jax.jit(lambda p, v: fdgan_fast.apply(p, v))
+        psnrs, ssims = [], []
+        for haze, gt_v in val_loader:
+            x_hat = fwd(g_params, jnp.asarray(haze))
+            x01 = np.asarray((x_hat + 1.0) * 0.5)
+            psnrs.append(psnr(np.clip(x01, 0, 1), np.asarray(gt_v)))
+            ssims.append(float(ssim_fn(jnp.clip((x_hat + 1) * 0.5, 0, 1), jnp.asarray(gt_v))))
+        return float(np.mean(psnrs)), float(np.mean(ssims))
+
+    t_log = time.time()
     for epoch in range(opt.epochs):
         t_epoch = time.time()
         for haze, gt in loader:
-            if haze.shape[0] % mesh.devices.size != 0:
-                continue  # DP requires divisible batch
+            if haze.shape[0] % n_data != 0:
+                continue  # ragged final batch under DP
             batch = shard_batch((haze, gt), mesh)
             step_rng, sub = jax.random.split(step_rng)
             if use_pool:
@@ -154,10 +183,13 @@ def main(argv=None):
             step = int(state.step)
             if step % opt.logEvery == 0:
                 m = {k: float(v) for k, v in metrics.items()}
-                m["imgs_per_sec"] = haze.shape[0] * opt.logEvery / max(time.time() - getattr(main, "_t0", time.time()), 1e-9)
-                main._t0 = time.time()
+                m["imgs_per_sec"] = haze.shape[0] * opt.logEvery / max(time.time() - t_log, 1e-9)
+                t_log = time.time()
                 logger.log(step, m)
                 meter.update(m.get("g_total", 0.0))
+            if val_loader is not None and opt.evalIter and step % opt.evalIter == 0:
+                v_psnr, v_ssim = evaluate(state.g_params)
+                logger.log(step, {"val_psnr": v_psnr, "val_ssim": v_ssim})
         save_checkpoint(opt.exp, state, step=int(state.step))
         print(f"epoch {epoch} done in {time.time() - t_epoch:.1f}s; avg g_loss {meter.avg:.4f}")
     logger.close()

@@ -86,8 +86,10 @@ def _dense_block_fast(params: dict, x: jax.Array, stats: _SegStats) -> Tuple[jax
 
 def _transition_fast(params: dict, x: jax.Array, stats: _SegStats) -> jax.Array:
     a, b = stats.fold(params["norm"], x.dtype)
-    h = conv2d(params["conv"], relu(x * a + b), padding=0)
-    return avg_pool(h, 2)
+    # 1×1 conv and 2×2 avg-pool are both linear and act on disjoint axes —
+    # they commute exactly; pooling first quarters the conv's FLOPs
+    h = avg_pool(relu(x * a + b), 2)
+    return conv2d(params["conv"], h, padding=0)
 
 
 def _stem(params: dict, x: jax.Array) -> jax.Array:

