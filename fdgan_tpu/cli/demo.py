@@ -55,6 +55,12 @@ def main(argv=None):
     import jax.numpy as jnp
     import numpy as np
 
+    if opt.precision == "fp32":
+        # XLA TPU computes fp32 convs through bf16 passes by default
+        # (measured 2e-2 absolute error on the Laplacian); checkpoint-parity
+        # inference needs true fp32 accumulation
+        jax.config.update("jax_default_matmul_precision", "highest")
+
     from fdgan_tpu.cli._common import load_generator_params, maybe_profile, save_image_normalized
     from fdgan_tpu.data import get_loader
     from fdgan_tpu.models import fdgan, fdgan_fast

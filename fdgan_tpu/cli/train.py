@@ -61,6 +61,9 @@ def main(argv=None):
 
     if opt.debugNans:
         jax.config.update("jax_debug_nans", True)
+    if opt.precision == "fp32":
+        # true fp32 conv accumulation (XLA TPU defaults to bf16 passes)
+        jax.config.update("jax_default_matmul_precision", "highest")
 
     from fdgan_tpu.data import get_loader
     from fdgan_tpu.dist.mesh import make_mesh, shard_batch, shard_params

@@ -138,8 +138,8 @@ def _phase_a_kernel(
     x_ref,            # (1, TH, W, C)
     a1_ref, b1_ref,   # (1, C)
     w1_ref,           # (C, 128)
-    sum_ref,          # (1, 1, 128) fp32
-    sq_ref,           # (1, 1, 128) fp32
+    sum_ref,          # (1, 1, 8, 128) fp32 — 8 sublanes to satisfy TPU tiling
+    sq_ref,           # (1, 1, 8, 128) fp32
     *,
     tile_h: int,
     width: int,
@@ -150,8 +150,8 @@ def _phase_a_kernel(
     b1 = b1_ref[0]
     t = jnp.maximum(x.astype(jnp.float32) * a1 + b1, 0.0).astype(w1_ref.dtype)
     h = jnp.dot(t.reshape(tile_h * width, -1), w1_ref[:], preferred_element_type=jnp.float32)
-    sum_ref[0, 0] = jnp.sum(h, axis=0)
-    sq_ref[0, 0] = jnp.sum(h * h, axis=0)
+    sum_ref[0, 0] = jnp.broadcast_to(jnp.sum(h, axis=0)[None, :], (8, inter))
+    sq_ref[0, 0] = jnp.broadcast_to(jnp.sum(h * h, axis=0)[None, :], (8, inter))
 
 
 # ---------------------------------------------------------------------------
@@ -252,12 +252,12 @@ def h_batch_stats(
             pl.BlockSpec((c, inter), lambda i, t: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, inter), lambda i, t: (i, t, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, inter), lambda i, t: (i, t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 8, inter), lambda i, t: (i, t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 8, inter), lambda i, t: (i, t, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, n, inter), jnp.float32),
-            jax.ShapeDtypeStruct((b, n, inter), jnp.float32),
+            jax.ShapeDtypeStruct((b, n, 8, inter), jnp.float32),
+            jax.ShapeDtypeStruct((b, n, 8, inter), jnp.float32),
         ],
         interpret=interpret,
     )(
@@ -267,8 +267,8 @@ def h_batch_stats(
         w1m.astype(x.dtype),
     )
     count = b * h * w
-    mean = jnp.sum(sums, axis=(0, 1)) / count
-    var = jnp.sum(sqs, axis=(0, 1)) / count - mean * mean
+    mean = jnp.sum(sums[:, :, 0], axis=(0, 1)) / count
+    var = jnp.sum(sqs[:, :, 0], axis=(0, 1)) / count - mean * mean
     return mean, jnp.maximum(var, 0.0)
 
 
