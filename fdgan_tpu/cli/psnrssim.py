@@ -55,8 +55,15 @@ def main(argv=None):
         scores.append(v_psnr)
         scores_ssim.append(v_ssim)
 
-    psnr_mean = Decimal(float(np.mean(scores))).quantize(Decimal("0.0000"))
-    ssim_mean = Decimal(float(np.mean(scores_ssim))).quantize(Decimal("0.0000"))
+    def fmt(v: float):
+        # identical images give MSE 0 → infinite PSNR; the reference's
+        # Decimal quantize would raise here (never met in its workflow)
+        if not np.isfinite(v):
+            return v
+        return Decimal(float(v)).quantize(Decimal("0.0000"))
+
+    psnr_mean = fmt(float(np.mean(scores)))
+    ssim_mean = fmt(float(np.mean(scores_ssim)))
     print("\n psnr:\n", psnr_mean, "\n compute ssim:\n", ssim_mean)
     return float(psnr_mean), float(ssim_mean)
 
