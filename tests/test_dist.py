@@ -91,3 +91,20 @@ def test_tiled_conv_matches_untiled(rng, np_rng):
     ref = fn(x)
     got = tiled_apply(fn, x, tile=32, halo=4)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_fdgan_forward_dp_sp_matches_single(rng, np_rng):
+    """Full FDGAN forward on a (data=2, spatial=4) mesh == single device.
+    Batch-stats BN all-reduces across shards, so outputs must be identical
+    up to fp reassociation."""
+    from fdgan_tpu.models import fdgan
+
+    params = fdgan.init(rng)
+    x = jnp.asarray(np_rng.uniform(-1, 1, (2, 32, 32, 3)).astype(np.float32))
+    ref = np.asarray(jax.jit(fdgan.apply)(params, x))
+
+    mesh = make_mesh(n_data=2, n_spatial=4)
+    xs = jax.device_put(x, NamedSharding(mesh, P("data", "spatial")))
+    ps = shard_params(params, mesh)
+    got = np.asarray(jax.jit(fdgan.apply)(ps, xs))
+    np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-3)
