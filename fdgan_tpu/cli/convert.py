@@ -1,0 +1,72 @@
+"""Checkpoint-format converter CLI: reference torch `.pth` ↔ native msgpack.
+
+    python -m fdgan_tpu.cli.convert --src netG_epoch_real.pth --dst netG.msgpack
+    python -m fdgan_tpu.cli.convert --src netG.msgpack --dst netG.pth [--prefix module.]
+
+Import preserves the reference's dead parameters (SURVEY.md §2.2); export
+writes OIHW conv layouts with optional DataParallel `module.` prefixes so the
+original PyTorch tooling can consume checkpoints trained here.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--src", required=True)
+    p.add_argument("--dst", required=True)
+    p.add_argument("--model", default="fdgan", choices=["fdgan", "vgg16"])
+    p.add_argument("--prefix", default="module.", help="key prefix for .pth export")
+    opt = p.parse_args(argv)
+
+    import jax
+
+    # pure data transformation — never worth a TPU round-trip (and the axon
+    # tunnel makes device init minutes-slow)
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
+
+    from fdgan_tpu.io.checkpoint import load_checkpoint, save_checkpoint
+    from fdgan_tpu.io.torch_import import (
+        FDGAN_TRANSPOSED,
+        convert_fdgan_checkpoint,
+        convert_vgg16,
+        export_state_dict,
+    )
+
+    def template():
+        if opt.model == "fdgan":
+            from fdgan_tpu.models import fdgan
+
+            return fdgan.init(jax.random.PRNGKey(0))
+        from fdgan_tpu.models import vgg16
+
+        return vgg16.init(jax.random.PRNGKey(0))
+
+    src_is_torch = opt.src.endswith((".pth", ".pt"))
+    dst_is_torch = opt.dst.endswith((".pth", ".pt"))
+
+    if src_is_torch and not dst_is_torch:
+        params = (
+            convert_fdgan_checkpoint(opt.src) if opt.model == "fdgan" else convert_vgg16(opt.src)
+        )
+        save_checkpoint(opt.dst, params)
+        print(f"imported {opt.src} -> {opt.dst}")
+    elif not src_is_torch and dst_is_torch:
+        import torch
+
+        params = load_checkpoint(opt.src, template())
+        transposed = FDGAN_TRANSPOSED if opt.model == "fdgan" else frozenset()
+        state = export_state_dict(params, prefix=opt.prefix, transposed=transposed)
+        torch.save({k: torch.from_numpy(v) for k, v in state.items()}, opt.dst)
+        print(f"exported {opt.src} -> {opt.dst} ({len(state)} tensors)")
+    else:
+        raise SystemExit("exactly one of --src/--dst must be a .pth/.pt file")
+
+
+if __name__ == "__main__":
+    main()

@@ -99,13 +99,21 @@ def main(argv=None):
     os.makedirs(opt.outDir, exist_ok=True)
     index = -1
     with maybe_profile(opt.profile_dir or None):
-        for haze, gt in loader:
+        for batch in loader:
+            haze = batch[0]  # pix2pix 2-tuple / pix2pix_val 4-tuple
             x = jnp.asarray(haze)
+            # FDGAN needs H, W divisible by 8 (three ÷2 stages); real NTIRE
+            # images are arbitrary — reflect-pad up, crop the output back
+            h0, w0 = x.shape[1], x.shape[2]
+            ph = (-h0) % 8
+            pw = (-w0) % 8
+            if ph or pw:
+                x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="reflect")
             start = time.time()
             x_hat = run(params, x)
             x_hat.block_until_ready()
             print(time.time() - start)  # per-image latency (demo.py:131-135)
-            x_hat = np.asarray(x_hat)
+            x_hat = np.asarray(x_hat)[:, :h0, :w0]
             for i in range(x_hat.shape[0]):
                 index += 1
                 print(index)

@@ -151,16 +151,24 @@ def convert_vgg16(path: str, rng=None, dtype=jnp.float32) -> dict:
     return convert_state_dict(load_torch_state_dict(path), target, dtype=dtype)
 
 
-def export_state_dict(params: dict, prefix: str = "") -> Dict[str, np.ndarray]:
-    """Inverse direction: fdgan_tpu pytree → flat torch-layout state dict
-    (conv kernels back to OIHW). Lets reference tooling consume checkpoints
+def export_state_dict(
+    params: dict, prefix: str = "", transposed: frozenset = frozenset()
+) -> Dict[str, np.ndarray]:
+    """Inverse direction: fdgan_tpu pytree → flat torch-layout state dict.
+    Regular convs go back to OIHW; modules whose dotted path (relative to the
+    tree root, without `prefix`) is in `transposed` are ConvTranspose2d in
+    torch and go back to IOHW. Lets reference tooling consume checkpoints
     trained here."""
     flat: Dict[str, np.ndarray] = {}
 
-    def walk(node, path):
+    def walk(node, path, rel):
         if isinstance(node, dict):
             if "kernel" in node:
-                flat[path + "weight"] = np.asarray(node["kernel"]).transpose(3, 2, 0, 1)
+                k = np.asarray(node["kernel"])
+                if rel.rstrip(".") in transposed:
+                    flat[path + "weight"] = k.transpose(2, 3, 0, 1)  # HWIO → IOHW
+                else:
+                    flat[path + "weight"] = k.transpose(3, 2, 0, 1)  # HWIO → OIHW
                 if "bias" in node:
                     flat[path + "bias"] = np.asarray(node["bias"])
             elif "scale" in node:
@@ -170,7 +178,14 @@ def export_state_dict(params: dict, prefix: str = "") -> Dict[str, np.ndarray]:
                 flat[path + "running_var"] = np.asarray(node["var"])
             else:
                 for k, v in node.items():
-                    walk(v, f"{path}{k}.")
+                    walk(v, f"{path}{k}.", f"{rel}{k}.")
 
-    walk(params, prefix)
+    walk(params, prefix, "")
     return flat
+
+
+# ConvTranspose2d modules of the FDGAN generator (TransitionBlockdy conv1s,
+# dehaze1113.py:343-428)
+FDGAN_TRANSPOSED = frozenset(
+    {"trans_block4.conv1", "trans_block5.conv1", "trans_block6.conv1"}
+)

@@ -8,7 +8,7 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from fdgan_tpu.io.torch_import import convert_state_dict, export_state_dict
+from fdgan_tpu.io.torch_import import FDGAN_TRANSPOSED, convert_state_dict, export_state_dict
 from fdgan_tpu.models import fdgan
 from fdgan_tpu.nn.tree import tree_size
 
@@ -87,7 +87,7 @@ def test_parity_vs_torch_oracle(rng, np_rng):
 def test_export_roundtrip(rng):
     """pytree → torch-layout state dict → pytree is the identity."""
     params = fdgan.init(rng)
-    state = export_state_dict(params)
+    state = export_state_dict(params, transposed=FDGAN_TRANSPOSED)
     back = convert_state_dict(state, fdgan.init(jax.random.PRNGKey(1)))
     leaves1 = jax.tree.leaves(params)
     leaves2 = jax.tree.leaves(back)

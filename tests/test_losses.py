@@ -72,3 +72,22 @@ def test_contextual_loss_differentiable(np_rng):
     g = jnp.asarray(np_rng.standard_normal((1, 4, 4, 8)).astype(np.float32))
     grad = jax.grad(lambda a: contextual_loss(a, g))(f)
     assert np.isfinite(np.asarray(grad)).all()
+
+
+def test_generator_loss_with_vgg(rng, np_rng):
+    """Perceptual + contextual paths exercised with random VGG weights."""
+    from fdgan_tpu.models import vgg16
+
+    d_params = nlayer_init(rng, input_nc=9)
+    vgg_params = vgg16.init(jax.random.fold_in(rng, 1))
+    x_hat = jnp.asarray(np_rng.uniform(-1, 1, (1, 32, 32, 3)).astype(np.float32))
+    gt = jnp.asarray(np_rng.uniform(-1, 1, (1, 32, 32, 3)).astype(np.float32))
+    loss, terms = generator_loss(
+        d_params, x_hat, gt, LossWeights(contextual=0.1), vgg_params=vgg_params
+    )
+    assert "perceptual" in terms and "contextual" in terms
+    assert np.isfinite(float(loss))
+    g = jax.grad(
+        lambda xh: generator_loss(d_params, xh, gt, LossWeights(contextual=0.1), vgg_params)[0]
+    )(x_hat)
+    assert np.isfinite(np.asarray(g)).all()
