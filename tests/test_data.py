@@ -109,3 +109,34 @@ def test_center_crop():
     img = np.zeros((10, 10, 3), np.float32)
     (out,) = T.CenterCrop(6)(img)
     assert out.shape == (6, 6, 3)
+
+
+def test_image_folder_deterministic(tmp_path, np_rng):
+    from PIL import Image
+
+    from fdgan_tpu.data.folder import ImageFolder
+
+    for cls in ("clear", "hazy"):
+        (tmp_path / cls).mkdir()
+        for i in range(2):
+            arr = (np_rng.uniform(0, 1, (8, 8, 3)) * 255).astype(np.uint8)
+            Image.fromarray(arr).save(tmp_path / cls / f"{i}.png")
+    ds = ImageFolder(str(tmp_path))
+    assert len(ds) == 4
+    assert ds.classes == ["clear", "hazy"]
+    img0a, y0a = ds[0]
+    img0b, y0b = ds[0]
+    np.testing.assert_array_equal(img0a, img0b)  # deterministic (ref was random)
+    assert {ds[i][1] for i in range(4)} == {0, 1}
+
+
+def test_classification_h5(tmp_path, np_rng):
+    from fdgan_tpu.data.folder import ClassificationH5
+
+    with h5py.File(tmp_path / "0.h5", "w") as f:
+        f.create_dataset("haze", data=np_rng.uniform(0, 1, (8, 8, 3)).astype(np.float32))
+        f.create_dataset("label", data=np.asarray(2.0))
+    ds = ClassificationH5(str(tmp_path))
+    haze, label = ds[0]
+    assert haze.shape == (8, 8, 3)
+    assert label == 1.0  # mean - 1

@@ -117,3 +117,84 @@ class FDGANOracle(nn.Module):
         x5 = self.trans_block5(self.dense_block5(x42))
         x6 = self.trans_block6(self.dense_block6(x5))
         return torch.tanh(self.conv_refin3(x6))
+
+
+class _Bottleneck(nn.Module):
+    """BottleneckBlock with live BNs (dehaze1113.py:234-253)."""
+
+    def __init__(self, in_p, out_p):
+        super().__init__()
+        inter = out_p * 4
+        self.bn1 = nn.BatchNorm2d(in_p)
+        self.conv1 = nn.Conv2d(in_p, inter, 1, bias=False)
+        self.bn2 = nn.BatchNorm2d(inter)
+        self.conv2 = nn.Conv2d(inter, out_p, 3, padding=1, bias=False)
+
+    def forward(self, x):
+        out = self.conv1(F.relu(self.bn1(x)))
+        out = self.conv2(F.relu(self.bn2(out)))
+        return torch.cat([x, out], 1)
+
+
+class _TransitionUp(nn.Module):
+    """TransitionBlock: BN + 1x1 ConvTranspose + x2 nearest (dehaze1113.py:343-355)."""
+
+    def __init__(self, in_p, out_p):
+        super().__init__()
+        self.bn1 = nn.BatchNorm2d(in_p)
+        self.conv1 = nn.ConvTranspose2d(in_p, out_p, 1, bias=False)
+
+    def forward(self, x):
+        return F.interpolate(self.conv1(F.relu(self.bn1(x))), scale_factor=2, mode="nearest")
+
+
+class Dense2Oracle(nn.Module):
+    """dehaze1113.Dense2 / dehaze22.Dense (pyramid variant, :572-699)."""
+
+    def __init__(self):
+        super().__init__()
+        self.conv0 = nn.Conv2d(3, 64, 7, 2, 3, bias=False)
+        self.norm0 = nn.BatchNorm2d(64)
+        self.dense_block1 = _DenseBlock(64, 6)
+        self.trans_block1 = _Transition(256, 128)
+        self.dense_block2 = _DenseBlock(128, 12)
+        self.trans_block2 = _Transition(512, 256)
+        self.dense_block3 = _DenseBlock(256, 24)
+        self.trans_block3 = _Transition(1024, 512)
+        self.dense_block4 = _Bottleneck(512, 256)
+        self.trans_block4 = _TransitionUp(768, 128)
+        self.dense_block5 = _Bottleneck(384, 256)
+        self.trans_block5 = _TransitionUp(640, 128)
+        self.dense_block6 = _Bottleneck(256, 128)
+        self.trans_block6 = _TransitionUp(384, 64)
+        self.dense_block7 = _Bottleneck(64, 64)
+        self.trans_block7 = _TransitionUp(128, 32)
+        self.dense_block8 = _Bottleneck(32, 32)
+        self.trans_block8 = _TransitionUp(64, 16)
+        self.conv_refin = nn.Conv2d(19, 20, 3, 1, 1)
+        for name in ("conv1010", "conv1020", "conv1030", "conv1040"):
+            setattr(self, name, nn.Conv2d(20, 1, 1))
+        self.refine3 = nn.Conv2d(24, 3, 3, 1, 1)
+
+    def forward(self, x):
+        x0 = F.max_pool2d(F.relu(self.norm0(self.conv0(x))), 3, 2, 1)
+        x1 = self.trans_block1(self.dense_block1(x0))
+        x2 = self.trans_block2(self.dense_block2(x1))
+        x3 = self.trans_block3(self.dense_block3(x2))
+        x4 = self.trans_block4(self.dense_block4(x3))
+        x42 = torch.cat([x4, x2], 1)
+        x5 = self.trans_block5(self.dense_block5(x42))
+        x52 = torch.cat([x5, x1], 1)
+        x6 = self.trans_block6(self.dense_block6(x52))
+        x7 = self.trans_block7(self.dense_block7(x6))
+        x8 = self.trans_block8(self.dense_block8(x7))
+        x8 = torch.cat([x8, x], 1)
+        x9 = F.leaky_relu(self.conv_refin(x8), 0.2)
+        shape_out = x9.shape[2:4]
+        outs = []
+        for pool, name in ((32, "conv1010"), (16, "conv1020"), (8, "conv1030"), (4, "conv1040")):
+            z = F.avg_pool2d(x9, pool)
+            z = F.interpolate(F.leaky_relu(getattr(self, name)(z), 0.2), size=shape_out, mode="nearest")
+            outs.append(z)
+        dehaze = torch.cat(outs + [x9], 1)
+        return torch.tanh(self.refine3(dehaze))
