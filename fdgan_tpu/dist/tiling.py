@@ -16,8 +16,7 @@ tests/test_tiling.py).
 
 from __future__ import annotations
 
-import math
-from typing import Callable, Tuple
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

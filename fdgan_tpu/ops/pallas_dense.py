@@ -35,7 +35,7 @@ XLA path (no custom VJP yet).
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 import jax

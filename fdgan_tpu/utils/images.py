@@ -8,7 +8,7 @@ numpy/PIL on the host side, jnp for the batch ops.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 import jax
