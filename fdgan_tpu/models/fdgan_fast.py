@@ -42,10 +42,25 @@ def _stats(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
 
 
 class _SegStats:
-    """Per-channel statistics of a concat, maintained segment-wise."""
+    """Per-channel statistics of a concat, maintained segment-wise.
 
-    def __init__(self, x: jax.Array, mode: str, norm: Optional[dict] = None):
+    When `collector`/`prefix` are given in batch mode, every BN's effective
+    batch statistics are also recorded under its parameter path (same format
+    as nn.layers.batch_norm's stats capture) so the train step can fold them
+    into running stats."""
+
+    def __init__(
+        self,
+        x: jax.Array,
+        mode: str,
+        collector: Optional[dict] = None,
+        prefix: str = "",
+    ):
         self.mode = mode
+        self.collector = collector
+        self.prefix = prefix
+        n = x.shape[0] * x.shape[1] * x.shape[2]
+        self.correction = n / max(n - 1, 1)  # biased→unbiased for running stats
         if mode == "batch":
             self.mean, self.var = _stats(x)
         else:
@@ -57,18 +72,31 @@ class _SegStats:
             self.mean = jnp.concatenate([self.mean, m])
             self.var = jnp.concatenate([self.var, v])
 
-    def fold(self, norm: dict, dtype):
+    def _record(self, name: str, mean, var, n_channels: int):
+        if self.collector is not None:
+            # torch folds the *unbiased* batch variance into running stats
+            # (matches nn.layers.batch_norm's capture)
+            self.collector[f"{self.prefix}{name}"] = (
+                mean[:n_channels],
+                var[:n_channels] * self.correction,
+            )
+
+    def fold(self, norm: dict, dtype, name: Optional[str] = None):
         if self.mode == "batch":
+            if name is not None:
+                self._record(name, self.mean, self.var, norm["scale"].shape[0])
             return _fold(norm, self.mean, self.var, dtype)
         return _fold(norm, norm["mean"], norm["var"], dtype)
 
 
-def _dense_layer_fast(lp: dict, x: jax.Array, stats: _SegStats) -> jax.Array:
-    a1, b1 = stats.fold(lp["norm1"], x.dtype)
+def _dense_layer_fast(lp: dict, x: jax.Array, stats: _SegStats, name: str = "") -> jax.Array:
+    a1, b1 = stats.fold(lp["norm1"], x.dtype, f"{name}.norm1" if name else None)
     t = relu(x * a1 + b1)
     h = conv2d(lp["conv1"], t, padding=0)
     if stats.mode == "batch":
         m2, v2 = _stats(h)
+        if name and stats.collector is not None:
+            stats.collector[f"{stats.prefix}{name}.norm2"] = (m2, v2 * stats.correction)
         a2, b2 = _fold(lp["norm2"], m2, v2, x.dtype)
     else:
         a2, b2 = _fold(lp["norm2"], lp["norm2"]["mean"], lp["norm2"]["var"], x.dtype)
@@ -78,14 +106,15 @@ def _dense_layer_fast(lp: dict, x: jax.Array, stats: _SegStats) -> jax.Array:
 
 def _dense_block_fast(params: dict, x: jax.Array, stats: _SegStats) -> Tuple[jax.Array, _SegStats]:
     for i in range(len(params)):
-        f = _dense_layer_fast(params[f"denselayer{i + 1}"], x, stats)
+        name = f"denselayer{i + 1}"
+        f = _dense_layer_fast(params[name], x, stats, name)
         stats.append(f)
         x = jnp.concatenate([x, f], axis=-1)
     return x, stats
 
 
 def _transition_fast(params: dict, x: jax.Array, stats: _SegStats) -> jax.Array:
-    a, b = stats.fold(params["norm"], x.dtype)
+    a, b = stats.fold(params["norm"], x.dtype, "norm")
     # 1×1 conv and 2×2 avg-pool are both linear and act on disjoint axes —
     # they commute exactly; pooling first quarters the conv's FLOPs
     h = avg_pool(relu(x * a + b), 2)
@@ -104,22 +133,32 @@ def _stem(params: dict, x: jax.Array) -> jax.Array:
     return relu(y + params["conv_refin1"]["bias"].astype(y.dtype))
 
 
-def apply(params: dict, x: jax.Array, bn_mode: str = "batch") -> jax.Array:
-    """Optimised FDGAN forward; same outputs as fdgan.apply (fp tolerance)."""
+def apply(
+    params: dict,
+    x: jax.Array,
+    bn_mode: str = "batch",
+    stats_out: Optional[dict] = None,
+) -> jax.Array:
+    """Optimised FDGAN forward; same outputs as fdgan.apply (fp tolerance).
+    ``stats_out`` captures per-BN batch statistics under the same paths as
+    fdgan.apply, for the train step's running-stat folding."""
     x0 = _stem(params, x)
     x01 = conv2d(params["conv_refin2"], avg_pool(x0, 2), padding=0)
 
-    s1 = _SegStats(x0, bn_mode)
+    s1 = _SegStats(x0, bn_mode, stats_out, "dense_block1.")
     x1, s1 = _dense_block_fast(params["dense_block1"], x0, s1)
+    s1.prefix = "trans_block1."
     x1 = _transition_fast(params["trans_block1"], x1, s1)
 
     x10 = conv2d(params["conv_refine4"], jnp.concatenate([x01, x1], axis=-1), padding=1)
-    s2 = _SegStats(x10, bn_mode)
+    s2 = _SegStats(x10, bn_mode, stats_out, "dense_block2.")
     x2, s2 = _dense_block_fast(params["dense_block2"], x10, s2)
+    s2.prefix = "trans_block2."
     x2 = _transition_fast(params["trans_block2"], x2, s2)
 
-    s3 = _SegStats(x2, bn_mode)
+    s3 = _SegStats(x2, bn_mode, stats_out, "dense_block3.")
     x3, s3 = _dense_block_fast(params["dense_block3"], x2, s3)
+    s3.prefix = "trans_block3."
     x3 = _transition_fast(params["trans_block3"], x3, s3)
     x22 = conv2d(params["conv_refin5"], avg_pool(x2, 2), padding=0)
 

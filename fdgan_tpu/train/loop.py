@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import optax
 
 from fdgan_tpu.losses.composite import LossWeights, discriminator_loss, generator_loss
-from fdgan_tpu.models import fdgan
+from fdgan_tpu.models import fdgan, fdgan_fast
 from fdgan_tpu.nn.layers import update_running_stats
 from fdgan_tpu.nn.tree import tree_get, tree_set
 
@@ -93,7 +93,9 @@ def make_train_step(
 
     def g_loss_fn(g_params, d_params, haze, gt):
         stats: dict = {}
-        x_hat = fdgan.apply(g_params, haze.astype(compute_dtype), stats_out=stats)
+        # optimised forward (numerically identical to fdgan.apply; captures
+        # the same per-BN batch statistics for running-stat folding)
+        x_hat = fdgan_fast.apply(g_params, haze.astype(compute_dtype), stats_out=stats)
         loss, terms = generator_loss(d_params, x_hat, gt.astype(compute_dtype), weights, vgg_params)
         return loss, (terms, stats, x_hat)
 
@@ -147,7 +149,9 @@ def make_gd_steps(
 
     def g_loss_fn(g_params, d_params, haze, gt):
         stats: dict = {}
-        x_hat = fdgan.apply(g_params, haze.astype(compute_dtype), stats_out=stats)
+        # optimised forward (numerically identical to fdgan.apply; captures
+        # the same per-BN batch statistics for running-stat folding)
+        x_hat = fdgan_fast.apply(g_params, haze.astype(compute_dtype), stats_out=stats)
         loss, terms = generator_loss(d_params, x_hat, gt.astype(compute_dtype), weights, vgg_params)
         return loss, (terms, stats, x_hat)
 

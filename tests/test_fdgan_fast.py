@@ -33,3 +33,21 @@ def test_fast_matches_reference_running(rng, np_rng):
     ref = np.asarray(fdgan.apply(params, x, bn_mode="running"))
     got = np.asarray(fdgan_fast.apply(params, x, bn_mode="running"))
     np.testing.assert_allclose(got, ref, atol=5e-5, rtol=1e-4)
+
+
+def test_fast_stats_capture_matches_base(rng, np_rng):
+    """Per-BN batch statistics captured by the fast forward equal the base
+    path's captured statistics (paths and values) — the train step's
+    running-stat folding relies on this."""
+    params = fdgan.init(rng)
+    x = jnp.asarray(np_rng.uniform(-1, 1, (2, 32, 32, 3)).astype(np.float32))
+
+    base_stats: dict = {}
+    fdgan.apply(params, x, bn_mode="batch", stats_out=base_stats)
+    fast_stats: dict = {}
+    fdgan_fast.apply(params, x, bn_mode="batch", stats_out=fast_stats)
+
+    assert set(fast_stats.keys()) == set(base_stats.keys())
+    for k in base_stats:
+        for a, b in zip(base_stats[k], fast_stats[k]):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4, err_msg=k)
