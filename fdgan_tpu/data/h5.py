@@ -64,6 +64,28 @@ class ValH5Dataset(PairedH5Dataset):
         super().__init__(root, transform, keys=self.KEYS)
 
 
+class NewH5Dataset(PairedH5Dataset):
+    """``datasets/new.py`` analog: ``input``/``target`` keys, with the
+    input bilinearly resized to 224x224 before it is returned
+    (datasets/new.py:190-191). Output stays HWC."""
+
+    KEYS = ("input", "target")
+
+    def __init__(self, root: str, transform=None, input_size: int = 224):
+        super().__init__(root, transform=None, keys=self.KEYS)
+        self.input_size = input_size
+        self._post = transform
+
+    def __getitem__(self, index: int):
+        from fdgan_tpu.data.transforms import _bilinear_resize
+
+        inp, tgt = super().__getitem__(index)
+        inp = _bilinear_resize(inp, self.input_size, self.input_size)
+        if self._post is not None:
+            inp, tgt = self._post(inp, tgt)
+        return inp, tgt
+
+
 class DataLoader:
     """Minimal batching loader with optional shuffling and a background
     prefetch thread (the reference's `num_workers` analog)."""
@@ -170,13 +192,33 @@ def get_loader(
     shuffle: bool = True,
     seed: Optional[int] = None,
 ) -> DataLoader:
-    """`misc.getLoader` equivalent (misc.py:25-69). The reference passes an
-    empty transform chain for the 'pix2pix' train split (misc.py:42-51), so
-    data reaches the network exactly as stored; we reproduce that default."""
+    """`misc.getLoader`/`getLoader1` equivalent (misc.py:25-116). The
+    reference passes an empty transform chain for the 'pix2pix' train split
+    (misc.py:42-51), so data reaches the network exactly as stored; we
+    reproduce that default. `getLoader1`'s 'new' name and the folder /
+    classification datasets dispatch here too (one entry point instead of
+    two near-identical functions)."""
     if dataset_name == "pix2pix":
         dataset = PairedH5Dataset(dataroot)
     elif dataset_name == "pix2pix_val":
         dataset = ValH5Dataset(dataroot)
+    elif dataset_name == "new":
+        dataset = NewH5Dataset(dataroot)
+    elif dataset_name == "folder":
+        from fdgan_tpu.data.folder import ImageFolder
+
+        dataset = ImageFolder(dataroot)
+    elif dataset_name == "classification":
+        from fdgan_tpu.data.folder import ClassificationH5
+
+        dataset = ClassificationH5(dataroot)
+    elif dataset_name == "pix2pix_val2":
+        # reference datasets/pix2pix_val2.py is broken upstream (reads keys
+        # the generator scripts never write — SURVEY §4.5); refuse loudly
+        raise ValueError(
+            "pix2pix_val2 is broken in the reference and deliberately not "
+            "ported; use 'pix2pix_val' (SURVEY.md §4.5)"
+        )
     else:
         raise ValueError(f"unknown dataset {dataset_name!r}")
     return DataLoader(

@@ -126,6 +126,36 @@ def hsv2rgb(x: jax.Array) -> jax.Array:
     return jnp.stack([r, g, b], axis=-1)
 
 
+# --- HED (Haematoxylin-Eosin-DAB stain deconvolution) ---
+# Ruifrok & Johnston stain matrix, as in skimage.color.rgb_from_hed; the
+# reference exposes rgb_to_hed/hed_to_rgb via pytorch_colors
+# (models/pytorch_colors/__init__.py:71-72) as skimage CPU round-trips.
+# We use the modern log-adjusted skimage semantics (clamp at 1e-6,
+# normalise by log(1e-6)) which make separate/combine exact inverses.
+_RGB_FROM_HED = np.array(
+    [[0.65, 0.70, 0.29],
+     [0.07, 0.99, 0.11],
+     [0.27, 0.57, 0.78]]
+)
+_HED_FROM_RGB = np.linalg.inv(_RGB_FROM_HED)
+_LOG_ADJUST = np.log(1e-6)
+
+
+def rgb2hed(x: jax.Array) -> jax.Array:
+    """RGB in [0,1] -> HED stain concentrations (non-negative)."""
+    x = jnp.maximum(x, 1e-6)
+    stains = jnp.einsum(
+        "...c,cd->...d", jnp.log(x) / _LOG_ADJUST, _HED_FROM_RGB.astype(x.dtype)
+    )
+    return jnp.maximum(stains, 0.0)
+
+
+def hed2rgb(x: jax.Array) -> jax.Array:
+    """HED stain concentrations -> RGB in [0,1]."""
+    log_rgb = jnp.einsum("...c,cd->...d", -(x * -_LOG_ADJUST), _RGB_FROM_HED.astype(x.dtype))
+    return jnp.clip(jnp.exp(log_rgb), 0.0, 1.0)
+
+
 _CONVERTERS = {
     ("rgb", "yuv"): rgb2yuv,
     ("yuv", "rgb"): yuv2rgb,
@@ -137,6 +167,8 @@ _CONVERTERS = {
     ("lab", "rgb"): lab2rgb,
     ("rgb", "hsv"): rgb2hsv,
     ("hsv", "rgb"): hsv2rgb,
+    ("rgb", "hed"): rgb2hed,
+    ("hed", "rgb"): hed2rgb,
 }
 
 

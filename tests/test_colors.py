@@ -43,6 +43,27 @@ def test_hsv_primary():
     assert hsv[2] == pytest.approx(1.0)
 
 
+def test_hed_roundtrip(img):
+    # rgb->hed->rgb is exact under the log-adjusted semantics for inputs
+    # whose stain decomposition is non-negative; use a stain-like image
+    stains = jnp.asarray([[[[0.3, 0.1, 0.2], [0.0, 0.5, 0.1]]]])
+    rgb = colors.hed2rgb(stains)
+    back = colors.rgb2hed(rgb)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(stains), atol=1e-5)
+
+
+def test_hed_reference_values():
+    # white (no stain) -> zero concentrations; pure haematoxylin column of
+    # the Ruifrok-Johnston matrix reconstructs through hed2rgb
+    white = jnp.ones((1, 1, 1, 3))
+    hed = np.asarray(colors.rgb2hed(white))[0, 0, 0]
+    np.testing.assert_allclose(hed, 0.0, atol=1e-6)
+    h_only = jnp.asarray([[[[1.0, 0.0, 0.0]]]])
+    rgb = np.asarray(colors.hed2rgb(h_only))[0, 0, 0]
+    expected = np.exp(-np.array([0.65, 0.70, 0.29]) * -np.log(1e-6))
+    np.testing.assert_allclose(rgb, expected, rtol=1e-5)
+
+
 def test_convert_dispatcher(img):
     via = colors.convert(img, "rgb", "lab")
     direct = colors.rgb2lab(img)

@@ -69,6 +69,42 @@ def test_get_loader_dispatch(h5_root):
     assert len(loader) == 5
     with pytest.raises(ValueError):
         get_loader("nope", h5_root, 16, 16)
+    with pytest.raises(ValueError, match="pix2pix_val2"):
+        get_loader("pix2pix_val2", h5_root, 16, 16)
+
+
+def test_get_loader_new_resizes_input(tmp_path, np_rng):
+    for i in range(2):
+        with h5py.File(tmp_path / f"{i}.h5", "w") as f:
+            f.create_dataset("input", data=np_rng.uniform(0, 1, (16, 16, 3)).astype(np.float32))
+            f.create_dataset("target", data=np_rng.uniform(0, 1, (16, 16, 3)).astype(np.float32))
+    loader = get_loader("new", str(tmp_path), 16, 16, batch_size=2, shuffle=False, workers=0)
+    inp, tgt = next(iter(loader))
+    # datasets/new.py:190-191 — input resized to 224², target untouched
+    assert inp.shape == (2, 224, 224, 3)
+    assert tgt.shape == (2, 16, 16, 3)
+
+
+def test_get_loader_folder_and_classification(tmp_path, np_rng):
+    from PIL import Image
+
+    froot = tmp_path / "folder"
+    for cls in ("a", "b"):
+        (froot / cls).mkdir(parents=True)
+        arr = (np_rng.uniform(0, 1, (8, 8, 3)) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(froot / cls / "0.png")
+    loader = get_loader("folder", str(froot), 8, 8, batch_size=2, shuffle=False, workers=0)
+    imgs, labels = next(iter(loader))
+    assert imgs.shape == (2, 8, 8, 3) and set(labels.tolist()) == {0, 1}
+
+    croot = tmp_path / "cls"
+    croot.mkdir()
+    with h5py.File(croot / "0.h5", "w") as f:
+        f.create_dataset("haze", data=np_rng.uniform(0, 1, (8, 8, 3)).astype(np.float32))
+        f.create_dataset("label", data=np.asarray(3.0))
+    loader = get_loader("classification", str(croot), 8, 8, batch_size=1, shuffle=False, workers=0)
+    haze, label = next(iter(loader))
+    assert haze.shape == (1, 8, 8, 3) and label[0] == 2.0
 
 
 def test_random_crop_shares_coords(np_rng):
