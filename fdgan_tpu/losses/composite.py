@@ -45,10 +45,17 @@ def generator_loss(
     weights: LossWeights,
     vgg_params: Optional[dict] = None,
 ) -> tuple[jax.Array, dict]:
-    """Full generator objective. Images in [-1, 1] (tanh range); SSIM and
-    VGG run on the [0, 1] remap."""
+    """Full generator objective.
+
+    Range contract (enforced here, at the loss ingress): ``x_hat`` is the
+    generator's native tanh output in [-1, 1]; ``gt`` is in **[0, 1]** —
+    exactly what the h5 pipeline stores (generate_testsample writes [0,1]
+    and `get_loader` applies no transform, reproducing the reference's
+    empty transform chain, misc.py:42-51). Every term — adversarial,
+    pixel, perceptual, SSIM, contextual — compares the [0, 1] views, so
+    the discriminator sees matched real/fake distributions."""
     x01 = (x_hat + 1.0) * 0.5
-    y01 = (gt + 1.0) * 0.5
+    y01 = gt
 
     terms = {}
     total = jnp.asarray(0.0, jnp.float32)
@@ -57,7 +64,7 @@ def generator_loss(
     terms["adv"] = g_adv_loss(d_fake)
     total += weights.adv * terms["adv"]
 
-    terms["pixel"] = pixel_loss(x_hat, gt, weights.pixel_norm)
+    terms["pixel"] = pixel_loss(x01, y01, weights.pixel_norm)
     total += weights.pixel * terms["pixel"]
 
     if vgg_params is not None and weights.perceptual > 0:
@@ -85,9 +92,12 @@ def discriminator_loss(
     x_hat: jax.Array,
     gt: jax.Array,
 ) -> tuple[jax.Array, dict]:
-    """Fusion-D objective: BCE(D(fuse(gt)),1) + BCE(D(fuse(x̂.detach())),0)."""
+    """Fusion-D objective: BCE(D(fuse(gt)),1) + BCE(D(fuse(x̂.detach())),0).
+
+    Same range contract as ``generator_loss``: ``x_hat`` tanh [-1,1],
+    ``gt`` [0,1]."""
     x01 = jax.lax.stop_gradient((x_hat + 1.0) * 0.5)
-    y01 = (gt + 1.0) * 0.5
+    y01 = gt
     d_real = fusion_apply(d_params, y01)
     d_fake = fusion_apply(d_params, x01)
     loss = _d_loss(d_real, d_fake)

@@ -15,8 +15,12 @@ _EPS = 1e-7
 
 def bce(pred: jax.Array, target: float) -> jax.Array:
     """Mean binary cross-entropy of a probability map against a constant
-    label (torch nn.BCELoss semantics)."""
-    p = jnp.clip(pred, _EPS, 1.0 - _EPS)
+    label (torch nn.BCELoss semantics).
+
+    Always computed in fp32: in bf16 the upper clip bound 1−1e−7 rounds to
+    exactly 1.0, so a saturated discriminator produces log(0) = −inf and
+    NaNs the whole step (observed within 16 steps of bf16 training)."""
+    p = jnp.clip(pred.astype(jnp.float32), _EPS, 1.0 - _EPS)
     return -jnp.mean(target * jnp.log(p) + (1.0 - target) * jnp.log(1.0 - p))
 
 

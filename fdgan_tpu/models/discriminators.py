@@ -98,8 +98,15 @@ def nlayer_apply(
     h = leaky_relu(bn(model[str(idx + 1)], h, f"model.{idx + 1}"), 0.2)
     idx += 3
     h = conv2d(model[str(idx)], h, stride=1, padding=1)
+    if h.shape[1] == 0 or h.shape[2] == 0:
+        raise ValueError(
+            f"input too small for NLayerDiscriminator: patch map is {h.shape}; "
+            f"the 4x4 tail convs need >=24px input (got {x.shape[1]}x{x.shape[2]})"
+        )
     if use_sigmoid:
-        h = sigmoid(h)
+        # fp32 head: bf16 sigmoid saturates to exactly 0/1 at ~|logit|>8,
+        # which defeats the BCE clip and NaNs adversarial training
+        h = sigmoid(h.astype(jnp.float32))
     return h
 
 
@@ -153,10 +160,10 @@ def patch_d_apply(params: dict, x: jax.Array, bn: Optional[BNCtx] = None) -> jax
     # layer4: LeakyReLU + 4×4 s1 conv (no BN)
     h = leaky_relu(h, 0.2)
     h = conv2d(params["layer4"]["conv"], h, stride=1, padding=1)
-    # layer5: LeakyReLU + 4×4 s1 conv → sigmoid
+    # layer5: LeakyReLU + 4×4 s1 conv → sigmoid (fp32 — see nlayer_apply)
     h = leaky_relu(h, 0.2)
     h = conv2d(params["layer5"]["conv"], h, stride=1, padding=1)
-    return sigmoid(h)
+    return sigmoid(h.astype(jnp.float32))
 
 
 # ---------------------------------------------------------------------------

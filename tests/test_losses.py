@@ -36,15 +36,16 @@ def test_d_and_g_losses(np_rng):
 
 
 def test_generator_loss_terms(rng, np_rng):
+    # contract: x_hat tanh [-1,1], gt [0,1] (h5-native)
     d_params = nlayer_init(rng, input_nc=9)
     x_hat = jnp.asarray(np_rng.uniform(-1, 1, (1, 32, 32, 3)).astype(np.float32))
-    gt = jnp.asarray(np_rng.uniform(-1, 1, (1, 32, 32, 3)).astype(np.float32))
+    gt = jnp.asarray(np_rng.uniform(0, 1, (1, 32, 32, 3)).astype(np.float32))
     loss, terms = generator_loss(d_params, x_hat, gt, LossWeights())
     assert np.isfinite(float(loss))
     for k in ("adv", "pixel", "ssim", "total"):
         assert k in terms
-    # perfect reconstruction zeroes pixel term and maxes ssim
-    loss2, terms2 = generator_loss(d_params, gt, gt, LossWeights())
+    # perfect reconstruction (x_hat's [0,1] view == gt) zeroes pixel, maxes ssim
+    loss2, terms2 = generator_loss(d_params, gt * 2.0 - 1.0, gt, LossWeights())
     assert float(terms2["pixel"]) == pytest.approx(0.0, abs=1e-6)
     assert float(terms2["ssim"]) == pytest.approx(1.0, abs=1e-4)
     assert float(loss2) < float(loss)
@@ -53,7 +54,7 @@ def test_generator_loss_terms(rng, np_rng):
 def test_discriminator_loss_detaches(rng, np_rng):
     d_params = nlayer_init(rng, input_nc=9)
     x_hat = jnp.asarray(np_rng.uniform(-1, 1, (1, 32, 32, 3)).astype(np.float32))
-    gt = jnp.asarray(np_rng.uniform(-1, 1, (1, 32, 32, 3)).astype(np.float32))
+    gt = jnp.asarray(np_rng.uniform(0, 1, (1, 32, 32, 3)).astype(np.float32))
     loss, terms = discriminator_loss(d_params, x_hat, gt)
     assert np.isfinite(float(loss))
     assert 0 <= float(terms["d_real"]) <= 1
@@ -81,7 +82,7 @@ def test_generator_loss_with_vgg(rng, np_rng):
     d_params = nlayer_init(rng, input_nc=9)
     vgg_params = vgg16.init(jax.random.fold_in(rng, 1))
     x_hat = jnp.asarray(np_rng.uniform(-1, 1, (1, 32, 32, 3)).astype(np.float32))
-    gt = jnp.asarray(np_rng.uniform(-1, 1, (1, 32, 32, 3)).astype(np.float32))
+    gt = jnp.asarray(np_rng.uniform(0, 1, (1, 32, 32, 3)).astype(np.float32))
     loss, terms = generator_loss(
         d_params, x_hat, gt, LossWeights(contextual=0.1), vgg_params=vgg_params
     )
