@@ -48,6 +48,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--poolSize", type=int, default=50)
     p.add_argument("--logEvery", type=int, default=10)
     p.add_argument("--debugNans", action="store_true", help="enable jax_debug_nans NaN screen")
+    p.add_argument("--remat", action="store_true",
+                   help="jax.checkpoint the G forward (recompute activations in "
+                        "backward — trades FLOPs for memory at high res)")
+    p.add_argument("--impl", choices=["xla", "pallas"], default="xla",
+                   help="generator forward implementation (pallas = fused dense-layer kernels)")
     return p
 
 
@@ -125,10 +130,16 @@ def main(argv=None):
         from fdgan_tpu.train.loop import make_gd_steps
         from fdgan_tpu.train.pool import ImagePool
 
-        g_step, d_step = make_gd_steps(tx_g, tx_d, weights, vgg_params, compute_dtype)
+        g_step, d_step = make_gd_steps(
+            tx_g, tx_d, weights, vgg_params, compute_dtype,
+            impl=opt.impl, remat=opt.remat,
+        )
         pool = ImagePool(opt.poolSize, seed=opt.seed)
     else:
-        train_step = make_train_step(tx_g, tx_d, weights, vgg_params, compute_dtype)
+        train_step = make_train_step(
+            tx_g, tx_d, weights, vgg_params, compute_dtype,
+            impl=opt.impl, remat=opt.remat,
+        )
 
     # data-parallel mesh over the largest device count that divides the batch
     n_dev = len(jax.devices())

@@ -85,25 +85,45 @@ def apply(
     x: jax.Array,
     bn_mode: str = "batch",
     stats_out: Optional[dict] = None,
+    impl: str = "xla",
+    interpret: bool = False,
 ) -> jax.Array:
     """FDGAN forward (NHWC in [-1,1]-compatible range, NHWC out in [-1,1]).
 
     ``bn_mode='batch'`` reproduces the reference's published inference
     behaviour (train-mode BN); ``'running'`` uses stored statistics.
+    ``impl='pallas'`` routes the three encoder dense blocks through the
+    fused Pallas kernel (ops/pallas_dense.py) — differentiable (custom VJP)
+    and stats-capturing, so it works under the train step too; ``interpret``
+    runs the kernels in interpreter mode (CPU testing).
     """
     bn = BNCtx(bn_mode, stats_out)
+
+    if impl == "pallas":
+        from fdgan_tpu.ops.pallas_dense import dense_block_fused
+
+        def dblock(p, xx, name):
+            return dense_block_fused(
+                p, xx, mode=bn_mode, interpret=interpret,
+                stats_out=stats_out, prefix=f"{name}.",
+            )
+    elif impl == "xla":
+        def dblock(p, xx, name):
+            return densenet.dense_block_apply(p, xx, bn.sub(name))
+    else:
+        raise ValueError(f"unknown impl {impl!r}")
 
     x0 = relu(conv2d(params["conv_refin1"], x, padding=1))
     x01 = conv2d(params["conv_refin2"], avg_pool(x0, 2), padding=0)
 
-    x1 = densenet.dense_block_apply(params["dense_block1"], x0, bn.sub("dense_block1"))
+    x1 = dblock(params["dense_block1"], x0, "dense_block1")
     x1 = densenet.transition_apply(params["trans_block1"], x1, bn.sub("trans_block1"))
 
     x10 = conv2d(params["conv_refine4"], jnp.concatenate([x01, x1], axis=-1), padding=1)
-    x2 = densenet.dense_block_apply(params["dense_block2"], x10, bn.sub("dense_block2"))
+    x2 = dblock(params["dense_block2"], x10, "dense_block2")
     x2 = densenet.transition_apply(params["trans_block2"], x2, bn.sub("trans_block2"))
 
-    x3 = densenet.dense_block_apply(params["dense_block3"], x2, bn.sub("dense_block3"))
+    x3 = dblock(params["dense_block3"], x2, "dense_block3")
     x3 = densenet.transition_apply(params["trans_block3"], x3, bn.sub("trans_block3"))
     x22 = conv2d(params["conv_refin5"], avg_pool(x2, 2), padding=0)
 

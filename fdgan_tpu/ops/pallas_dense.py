@@ -28,14 +28,18 @@ BatchNorm modes:
   per-tile partial sums (h is linear in the data, but relu(bn1) changes per
   layer, so phase A must run per layer).
 
-Used for inference (`fdgan.apply(..., impl='pallas')`); training keeps the
-XLA path (no custom VJP yet).
+Training: `fused_dense_layer` and `h_batch_stats` carry a custom VJP whose
+backward pass recomputes through a pure-XLA twin of the kernel (rematerialised
+— nothing beyond the layer inputs is saved). On this platform Pallas is
+bandwidth-capped below XLA (CLAUDE.md), so an XLA backward is the *faster*
+choice, and the layer becomes trainable the moment the forward kernel wins.
+Route the generator through it with `fdgan.apply(..., impl='pallas')`.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 import jax
@@ -165,19 +169,8 @@ def _pick_tile_h(h: int) -> int:
     return h
 
 
-def fused_dense_layer(
-    x: jax.Array,
-    a1: jax.Array,
-    b1: jax.Array,
-    w1: jax.Array,
-    a2: jax.Array,
-    b2: jax.Array,
-    w2: jax.Array,
-    tile_h: int = 0,
-    interpret: bool = False,
-) -> jax.Array:
-    """One fused dense layer. x (B,H,W,C); w1 (1,1,C,I) or (C,I);
-    w2 (3,3,I,F). Returns (B,H,W,F)."""
+def _fused_layer_pallas(x, a1, b1, w1, a2, b2, w2, tile_h, interpret) -> jax.Array:
+    """Pallas forward. x (B,H,W,C); w1 (1,1,C,I) or (C,I); w2 (3,3,I,F)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -223,6 +216,97 @@ def fused_dense_layer(
     )
 
 
+# --- differentiable wrappers: Pallas forward, XLA-recompute backward ---
+
+_DN = ("NHWC", "HWIO", "NHWC")
+
+
+def _layer_reference(x, a1, b1, w1, a2, b2, w2) -> jax.Array:
+    """Pure-XLA twin of `_layer_kernel` (same math and precision choices);
+    drives the custom VJP backward pass."""
+    w1m = w1.reshape(1, 1, -1, w1.shape[-1]) if w1.ndim != 4 else w1
+    inter = w1m.shape[-1]
+    w2m = w2.reshape(3, 3, inter, -1) if w2.ndim != 4 else w2
+    a1f = a1.reshape(-1).astype(jnp.float32)
+    b1f = b1.reshape(-1).astype(jnp.float32)
+    a2f = a2.reshape(-1).astype(jnp.float32)
+    b2f = b2.reshape(-1).astype(jnp.float32)
+    t = jnp.maximum(x.astype(jnp.float32) * a1f + b1f, 0.0).astype(x.dtype)
+    h = jax.lax.conv_general_dilated(
+        t, w1m.astype(x.dtype), (1, 1), "VALID", dimension_numbers=_DN,
+        preferred_element_type=jnp.float32,
+    )
+    g = jnp.maximum(h * a2f + b2f, 0.0).astype(x.dtype)
+    f = jax.lax.conv_general_dilated(
+        g, w2m.astype(x.dtype), (1, 1), ((1, 1), (1, 1)), dimension_numbers=_DN,
+        preferred_element_type=jnp.float32,
+    )
+    return f.astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def _fused_layer(x, a1, b1, w1, a2, b2, w2, tile_h, interpret):
+    return _fused_layer_pallas(x, a1, b1, w1, a2, b2, w2, tile_h, interpret)
+
+
+def _fused_layer_fwd(x, a1, b1, w1, a2, b2, w2, tile_h, interpret):
+    out = _fused_layer_pallas(x, a1, b1, w1, a2, b2, w2, tile_h, interpret)
+    return out, (x, a1, b1, w1, a2, b2, w2)
+
+
+def _fused_layer_bwd(tile_h, interpret, res, ct):
+    _, vjp = jax.vjp(_layer_reference, *res)
+    return vjp(ct)
+
+
+_fused_layer.defvjp(_fused_layer_fwd, _fused_layer_bwd)
+
+
+def fused_dense_layer(
+    x: jax.Array,
+    a1: jax.Array,
+    b1: jax.Array,
+    w1: jax.Array,
+    a2: jax.Array,
+    b2: jax.Array,
+    w2: jax.Array,
+    tile_h: int = 0,
+    interpret: bool = False,
+) -> jax.Array:
+    """One fused dense layer (differentiable). x (B,H,W,C); w1 (1,1,C,I) or
+    (C,I); w2 (3,3,I,F). Returns (B,H,W,F)."""
+    return _fused_layer(x, a1, b1, w1, a2, b2, w2, tile_h, interpret)
+
+
+def _h_stats_reference(x, a1, b1, w1) -> Tuple[jax.Array, jax.Array]:
+    w1m = w1.reshape(1, 1, -1, w1.shape[-1]) if w1.ndim != 4 else w1
+    a1f = a1.reshape(-1).astype(jnp.float32)
+    b1f = b1.reshape(-1).astype(jnp.float32)
+    t = jnp.maximum(x.astype(jnp.float32) * a1f + b1f, 0.0).astype(x.dtype)
+    h = jax.lax.conv_general_dilated(
+        t, w1m.astype(x.dtype), (1, 1), "VALID", dimension_numbers=_DN,
+        preferred_element_type=jnp.float32,
+    )
+    return channel_stats(h)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _h_stats(x, a1, b1, w1, tile_h, interpret):
+    return _h_stats_pallas(x, a1, b1, w1, tile_h, interpret)
+
+
+def _h_stats_fwd(x, a1, b1, w1, tile_h, interpret):
+    return _h_stats_pallas(x, a1, b1, w1, tile_h, interpret), (x, a1, b1, w1)
+
+
+def _h_stats_bwd(tile_h, interpret, res, ct):
+    _, vjp = jax.vjp(_h_stats_reference, *res)
+    return vjp(ct)
+
+
+_h_stats.defvjp(_h_stats_fwd, _h_stats_bwd)
+
+
 def h_batch_stats(
     x: jax.Array,
     a1: jax.Array,
@@ -231,7 +315,19 @@ def h_batch_stats(
     tile_h: int = 0,
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Phase A: per-channel (mean, biased var) of h = relu(a1·x+b1) @ W1."""
+    """Phase A (differentiable): per-channel (mean, biased var) of
+    h = relu(a1·x+b1) @ W1."""
+    return _h_stats(x, a1, b1, w1, tile_h, interpret)
+
+
+def _h_stats_pallas(
+    x: jax.Array,
+    a1: jax.Array,
+    b1: jax.Array,
+    w1: jax.Array,
+    tile_h: int = 0,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -281,14 +377,21 @@ def dense_block_fused(
     x: jax.Array,
     mode: str = "batch",
     interpret: bool = False,
+    stats_out: Optional[dict] = None,
+    prefix: str = "",
 ) -> jax.Array:
-    """Drop-in replacement for models.densenet.dense_block_apply (inference).
+    """Drop-in replacement for models.densenet.dense_block_apply.
 
     In batch mode, norm1 statistics are the per-channel data statistics of
     the concat (computed once per segment — channels partition), and norm2
-    statistics come from the phase-A kernel.
+    statistics come from the phase-A kernel. When ``stats_out`` is given,
+    every BN's (mean, unbiased var) pair is recorded under
+    ``{prefix}denselayerN.normK`` — same contract as nn.layers.batch_norm —
+    so a train step can fold them into running statistics.
     """
     n_layers = len(params)
+    n_el = x.shape[0] * x.shape[1] * x.shape[2]
+    corr = n_el / max(n_el - 1, 1)
     # per-channel data stats of the growing concat, built incrementally
     if mode == "batch":
         mean_cat, var_cat = channel_stats(x)
@@ -305,6 +408,9 @@ def dense_block_fused(
         else:
             m2, v2 = lp["norm2"]["mean"], lp["norm2"]["var"]
         a2, b2 = fold_bn(lp["norm2"]["scale"], lp["norm2"]["bias"], m2, v2)
+        if stats_out is not None and mode == "batch":
+            stats_out[f"{prefix}denselayer{i + 1}.norm1"] = (m1, v1 * corr)
+            stats_out[f"{prefix}denselayer{i + 1}.norm2"] = (m2, v2 * corr)
         f = fused_dense_layer(x, a1, b1, w1, a2, b2, lp["conv2"]["kernel"], interpret=interpret)
         if mode == "batch":
             mf, vf = channel_stats(f)

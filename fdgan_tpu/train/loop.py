@@ -81,6 +81,30 @@ def _fold_bn_stats(params: dict, stats: dict, momentum: float = 0.1) -> dict:
     return params
 
 
+def _make_g_forward(compute_dtype, impl: str, interpret: bool, remat: bool):
+    """Generator forward returning (x_hat, bn_stats).
+
+    impl='xla' uses the optimised fdgan_fast forward (numerically identical
+    to fdgan.apply, captures the same per-BN batch statistics);
+    impl='pallas' routes the encoder dense blocks through the fused Pallas
+    kernel (differentiable via its custom VJP). `remat` wraps the forward in
+    jax.checkpoint — activations are recomputed in the backward pass, the
+    high-res memory lever (SURVEY §5 long-context row)."""
+
+    def forward(g_params, haze):
+        stats: dict = {}
+        if impl == "pallas":
+            x_hat = fdgan.apply(
+                g_params, haze.astype(compute_dtype),
+                stats_out=stats, impl="pallas", interpret=interpret,
+            )
+        else:
+            x_hat = fdgan_fast.apply(g_params, haze.astype(compute_dtype), stats_out=stats)
+        return x_hat, stats
+
+    return jax.checkpoint(forward) if remat else forward
+
+
 def make_train_step(
     tx_g: optax.GradientTransformation,
     tx_d: optax.GradientTransformation,
@@ -88,14 +112,15 @@ def make_train_step(
     vgg_params: Optional[dict] = None,
     compute_dtype=jnp.float32,
     update_bn_stats: bool = True,
+    impl: str = "xla",
+    interpret: bool = False,
+    remat: bool = False,
 ):
     """Build the jitted (donated-state) alternating train step."""
+    g_forward = _make_g_forward(compute_dtype, impl, interpret, remat)
 
     def g_loss_fn(g_params, d_params, haze, gt):
-        stats: dict = {}
-        # optimised forward (numerically identical to fdgan.apply; captures
-        # the same per-BN batch statistics for running-stat folding)
-        x_hat = fdgan_fast.apply(g_params, haze.astype(compute_dtype), stats_out=stats)
+        x_hat, stats = g_forward(g_params, haze)
         loss, terms = generator_loss(d_params, x_hat, gt.astype(compute_dtype), weights, vgg_params)
         return loss, (terms, stats, x_hat)
 
@@ -142,16 +167,17 @@ def make_gd_steps(
     vgg_params: Optional[dict] = None,
     compute_dtype=jnp.float32,
     update_bn_stats: bool = True,
+    impl: str = "xla",
+    interpret: bool = False,
+    remat: bool = False,
 ):
     """Split G/D steps for ImagePool-style training (misc.py:140-161): the
     G step returns the generated batch; the host pools it and feeds a
     (possibly historical) fake batch to the D step."""
+    g_forward = _make_g_forward(compute_dtype, impl, interpret, remat)
 
     def g_loss_fn(g_params, d_params, haze, gt):
-        stats: dict = {}
-        # optimised forward (numerically identical to fdgan.apply; captures
-        # the same per-BN batch statistics for running-stat folding)
-        x_hat = fdgan_fast.apply(g_params, haze.astype(compute_dtype), stats_out=stats)
+        x_hat, stats = g_forward(g_params, haze)
         loss, terms = generator_loss(d_params, x_hat, gt.astype(compute_dtype), weights, vgg_params)
         return loss, (terms, stats, x_hat)
 
