@@ -53,6 +53,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "backward — trades FLOPs for memory at high res)")
     p.add_argument("--impl", choices=["xla", "pallas"], default="xla",
                    help="generator forward implementation (pallas = fused dense-layer kernels)")
+    p.add_argument("--clipGrad", type=float, default=0.0,
+                   help="global-norm gradient clip (0 = off); stabilises bf16 GAN training")
     return p
 
 
@@ -98,6 +100,7 @@ def main(argv=None):
         lr_d=opt.lrD,
         beta1=opt.beta1,
         decay_every=opt.annealEvery if opt.annealStart else 0,
+        clip_grad=opt.clipGrad,
     )
 
     # resume: native checkpoint dir or reference .pth
@@ -115,6 +118,13 @@ def main(argv=None):
         from fdgan_tpu.io.torch_import import convert_vgg16
 
         vgg_params = convert_vgg16(opt.vggWeights)
+    elif opt.lambdaPerceptual > 0:
+        print(
+            "WARNING: --lambdaPerceptual > 0 but no --vggWeights given; the "
+            "perceptual loss is OFF. Supply a VGG16 .pth in either the "
+            "reference's Vgg16 format or stock torchvision format "
+            "(io.torch_import.convert_vgg16 accepts both)."
+        )
 
     weights = LossWeights(
         adv=opt.lambdaAdv,

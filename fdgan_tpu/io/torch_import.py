@@ -141,14 +141,42 @@ def convert_fdgan_checkpoint(path: str, rng=None, dtype=jnp.float32) -> dict:
     return convert_state_dict(load_torch_state_dict(path), target, dtype=dtype)
 
 
+# torchvision vgg16's Sequential indices of the 13 convs, in _CFG order
+_TORCHVISION_VGG16_CONVS = (0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28)
+
+
 def convert_vgg16(path: str, rng=None, dtype=jnp.float32) -> dict:
-    """A torch-saved Vgg16 state dict (myutils/utils.py:94) → vgg pytree."""
+    """A torch-saved VGG16 state dict → vgg pytree.
+
+    Accepts BOTH naming schemes, so the perceptual loss has a practical
+    weight-bootstrap story offline (SURVEY §7.3 #3 — the reference's
+    `init_vgg16` Lua-t7 download, myutils/utils.py:84-94, has no offline
+    analog):
+
+    * the reference's ``Vgg16`` attribute names (``conv1_1.weight`` …), the
+      format its own converter writes;
+    * torchvision's ``vgg16(weights=...)`` layout (``features.0.weight`` …)
+      — any stock torchvision VGG16 checkpoint converts directly;
+      classifier weights are ignored.
+    """
     import jax
 
     from fdgan_tpu.models import vgg16
 
+    state = load_torch_state_dict(path)
+    if any(k.startswith("features.") for k in state):
+        idx_to_name = {
+            str(i): cfg[0] for i, cfg in zip(_TORCHVISION_VGG16_CONVS, vgg16._CFG)
+        }
+        remapped = {}
+        for k, v in state.items():
+            parts = k.split(".")
+            if parts[0] == "features" and parts[1] in idx_to_name and len(parts) == 3:
+                remapped[f"{idx_to_name[parts[1]]}.{parts[2]}"] = v
+            # classifier.* / avgpool.* carry no features — dropped
+        state = remapped
     target = vgg16.init(rng if rng is not None else jax.random.PRNGKey(0), dtype)
-    return convert_state_dict(load_torch_state_dict(path), target, dtype=dtype)
+    return convert_state_dict(state, target, dtype=dtype)
 
 
 def export_state_dict(

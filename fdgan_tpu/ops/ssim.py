@@ -53,6 +53,11 @@ def ssim_map(img1: jax.Array, img2: jax.Array, window_size: int = SSIM_WINDOW_SI
     the 2-D window is the outer product of the normalised 1-D Gaussian."""
     t = jnp.asarray(gaussian_window_1d(window_size))
     pad = window_size // 2
+    # fp32 throughout (reference torch semantics): in bf16 the cancellation
+    # in E[x²]−μ² produces variances negative enough to defeat C2, and the
+    # division then NaNs adversarial training within tens of steps
+    img1 = img1.astype(jnp.float32)
+    img2 = img2.astype(jnp.float32)
     # one stacked pass over [x, y, x², y², xy]
     stacked = jnp.concatenate([img1, img2, img1 * img1, img2 * img2, img1 * img2], axis=-1)
     f = _sep_depthwise(stacked, t, pad)

@@ -50,6 +50,7 @@ def create_train_state(
     beta1: float = 0.5,
     decay_every: int = 0,
     input_nc: int = 9,
+    clip_grad: float = 0.0,
 ) -> Tuple[TrainState, optax.GradientTransformation, optax.GradientTransformation]:
     from fdgan_tpu.models.discriminators import nlayer_init
     from fdgan_tpu.train.schedule import linear_decay_schedule
@@ -62,6 +63,11 @@ def create_train_state(
     sched_d = linear_decay_schedule(lr_d, decay_every) if decay_every else lr_d
     tx_g = optax.adam(sched_g, b1=beta1, b2=0.999)
     tx_d = optax.adam(sched_d, b1=beta1, b2=0.999)
+    if clip_grad > 0:
+        # global-norm clip ahead of Adam — the standard GAN stabiliser for
+        # the low-precision runs (bf16 grads spike when D saturates)
+        tx_g = optax.chain(optax.clip_by_global_norm(clip_grad), tx_g)
+        tx_d = optax.chain(optax.clip_by_global_norm(clip_grad), tx_d)
 
     state = TrainState(
         step=jnp.zeros((), jnp.int32),

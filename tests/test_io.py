@@ -61,6 +61,33 @@ def test_torch_pth_import_with_dataparallel_prefix(tmp_path, rng):
     np.testing.assert_allclose(np.asarray(params["bn"]["mean"]), bn.running_mean.numpy(), atol=1e-6)
 
 
+def test_convert_vgg16_torchvision_layout(tmp_path):
+    """A stock torchvision-format VGG16 state dict (features.N.weight)
+    converts directly — the offline weight-bootstrap path for the
+    perceptual loss."""
+    torch = pytest.importorskip("torch")
+
+    from fdgan_tpu.io.torch_import import _TORCHVISION_VGG16_CONVS, convert_vgg16
+    from fdgan_tpu.models import vgg16
+
+    state = {}
+    gen = torch.Generator().manual_seed(0)
+    for idx, (name, cin, cout) in zip(_TORCHVISION_VGG16_CONVS, vgg16._CFG):
+        state[f"features.{idx}.weight"] = torch.randn(cout, cin, 3, 3, generator=gen)
+        state[f"features.{idx}.bias"] = torch.randn(cout, generator=gen)
+    state["classifier.0.weight"] = torch.randn(8, 8, generator=gen)  # ignored
+    p = tmp_path / "vgg16_tv.pth"
+    torch.save(state, str(p))
+
+    params = convert_vgg16(str(p))
+    w = state["features.0.weight"].numpy().transpose(2, 3, 1, 0)
+    np.testing.assert_allclose(np.asarray(params["conv1_1"]["kernel"]), w, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(params["conv5_3"]["bias"]),
+        state["features.28.bias"].numpy(), atol=1e-6,
+    )
+
+
 def test_convert_rejects_bad_shapes(rng):
     from fdgan_tpu.nn.layers import conv2d_init
 
