@@ -40,11 +40,16 @@ def _sep_depthwise(x: jax.Array, t: jax.Array, pad: int) -> jax.Array:
     n = t.shape[0]
     kcol = jnp.broadcast_to(t.astype(x.dtype)[:, None, None, None], (n, 1, 1, c))
     krow = jnp.broadcast_to(t.astype(x.dtype)[None, :, None, None], (1, n, 1, c))
+    # HIGHEST precision: TPU convs default to bf16 passes even on fp32 data,
+    # and the E[x²]−μ² cancellation then produces SSIM values far outside
+    # [-1, 1] (observed −26) that wreck the adversarial training gradients
     y = lax.conv_general_dilated(
-        x, kcol, (1, 1), [(pad, pad), (0, 0)], dimension_numbers=CONV_DIMS, feature_group_count=c
+        x, kcol, (1, 1), [(pad, pad), (0, 0)], dimension_numbers=CONV_DIMS,
+        feature_group_count=c, precision=lax.Precision.HIGHEST,
     )
     return lax.conv_general_dilated(
-        y, krow, (1, 1), [(0, 0), (pad, pad)], dimension_numbers=CONV_DIMS, feature_group_count=c
+        y, krow, (1, 1), [(0, 0), (pad, pad)], dimension_numbers=CONV_DIMS,
+        feature_group_count=c, precision=lax.Precision.HIGHEST,
     )
 
 
