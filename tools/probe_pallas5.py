@@ -200,14 +200,16 @@ if __name__ == "__main__":
     g = u(20, (B, H, W, 128))
     halo = build_halo(g, TH)
     w2 = u(21, (3, 3, 128, 32))
-    y9 = conv2(g, halo, w2, _conv2_9dot_kernel, packed=False)
-    yp = conv2(g, halo, w2, _conv2_packed_kernel, packed=True)
-    errp = float(jnp.max(jnp.abs(y9.astype(jnp.float32) - yp.astype(jnp.float32))))
-    print("Q2 numerics: max |packed - 9dot| =", errp)
-
     fl2 = 2 * B * H * W * 9 * 128 * 32
     nb2 = B * H * W * (128 + 32) * 2
     timed(lambda g: conv2(g, halo, w2, _conv2_9dot_kernel, packed=False), (g,),
           "Q2 conv2 9-dot loop", fl2, nb2)
-    timed(lambda g: conv2(g, halo, w2, _conv2_packed_kernel, packed=True), (g,),
-          "Q2 conv2 packed N=288 + VMEM shift-add", fl2, nb2)
+    if INTERPRET:
+        # the packed kernel only runs in interpret mode: on real TPUs Mosaic
+        # rejects the (M,288)->(th,w,3,3,32) reshape ("unsupported shape
+        # cast") — and Q1's 9.2 TF/s in-kernel MXU ceiling makes the design
+        # moot regardless (see PERFORMANCE.md dead-ends, r2)
+        y9 = conv2(g, halo, w2, _conv2_9dot_kernel, packed=False)
+        yp = conv2(g, halo, w2, _conv2_packed_kernel, packed=True)
+        errp = float(jnp.max(jnp.abs(y9.astype(jnp.float32) - yp.astype(jnp.float32))))
+        print("Q2 numerics: max |packed - 9dot| =", errp)
