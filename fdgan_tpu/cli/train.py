@@ -189,6 +189,11 @@ def main(argv=None):
             ssims.append(float(ssim_fn(jnp.clip((x_hat + 1) * 0.5, 0, 1), jnp.asarray(gt_v))))
         return float(np.mean(psnrs)), float(np.mean(ssims))
 
+    if val_loader is not None and opt.evalIter:
+        # step-0 baseline so the logged val trend is self-contained
+        v_psnr, v_ssim = evaluate(state.g_params)
+        logger.log(int(state.step), {"val_psnr": v_psnr, "val_ssim": v_ssim})
+
     t_log = time.time()
     for epoch in range(opt.epochs):
         t_epoch = time.time()

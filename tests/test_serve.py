@@ -1,0 +1,143 @@
+"""InferenceEngine (serve.py) plumbing tests.
+
+The numerical path (fdgan_fast.apply) is oracle-tested elsewhere; these
+tests check the serving mechanics: shape bucketing, batch-ladder padding,
+input-order restitution, and stream/batch equivalence. Expected values use
+the engine's own compiled forward so no extra XLA programs are built.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from fdgan_tpu.models import fdgan
+from fdgan_tpu.serve import InferenceEngine
+
+
+@pytest.fixture(scope="module")
+def engine():
+    import jax
+
+    params = fdgan.init(jax.random.PRNGKey(0))
+    return InferenceEngine(
+        params,
+        precision="fp32",
+        bn_mode="running",
+        bucket=64,
+        batch_sizes=(1, 2),
+    )
+
+
+def _direct(engine, img):
+    """Expected result: pad to bucket, run the engine's compiled fwd, crop."""
+    H, W = engine._bucket_hw(img.shape[0], img.shape[1])
+    x = InferenceEngine._pad_hw(np.asarray(img, np.float32), H, W)[None]
+    y = np.asarray(engine._fwd(engine._params, jnp.asarray(x)))
+    return y[0, : img.shape[0], : img.shape[1]]
+
+
+def test_predict_single_odd_shape(engine, np_rng):
+    img = np_rng.uniform(size=(32, 48, 3)).astype(np.float32)
+    out = engine.predict(img)
+    assert out.shape == (32, 48, 3)
+    np.testing.assert_allclose(out, _direct(engine, img), rtol=0, atol=0)
+
+
+def test_predict_batch_ragged_order(engine, np_rng):
+    imgs = [
+        np_rng.uniform(size=(32, 48, 3)).astype(np.float32),
+        np_rng.uniform(size=(40, 40, 3)).astype(np.float32),
+        np_rng.uniform(size=(33, 64, 3)).astype(np.float32),
+    ]
+    outs = engine.predict_batch(imgs)
+    assert [o.shape for o in outs] == [i.shape for i in imgs]
+    # results are in input order regardless of grouping/flush order
+    for img, out in zip(imgs, outs):
+        np.testing.assert_allclose(out, _direct(engine, img), rtol=0, atol=0)
+
+
+def test_bucket_reuse_no_new_compiles(engine, np_rng):
+    before = engine.stats["compiles"]
+    # different raw shapes, same (64, 64) bucket and batch rung as before
+    out = engine.predict(np_rng.uniform(size=(50, 63, 3)).astype(np.float32))
+    assert out.shape == (50, 63, 3)
+    assert engine.stats["compiles"] == before
+
+
+def test_stream_matches_predict_batch(engine, np_rng):
+    imgs = [
+        np_rng.uniform(size=(32 + 8 * (i % 2), 48, 3)).astype(np.float32)
+        for i in range(5)
+    ]
+    ref = engine.predict_batch(imgs)
+    for depth in (1, 3):
+        got = list(engine.stream(iter(imgs), depth=depth))
+        assert len(got) == len(ref)
+        for a, b in zip(got, ref):
+            np.testing.assert_allclose(a, b, rtol=0, atol=0)
+
+
+def test_stats_accounting(engine):
+    s = engine.stats
+    assert s["images"] >= 10
+    assert s["batches"] >= 5
+    assert 0.0 <= s["padded_frac"] < 1.0
+
+
+def test_tiled_route(np_rng):
+    """Images above the tile threshold go through halo-tiled inference."""
+    import jax
+
+    params = fdgan.init(jax.random.PRNGKey(0))
+    eng = InferenceEngine(
+        params,
+        precision="fp32",
+        bn_mode="running",
+        bucket=16,
+        batch_sizes=(1,),
+        tile=32,
+        halo=8,
+    )
+    img = np_rng.uniform(size=(48, 41, 3)).astype(np.float32)
+    out = eng.predict(img)
+    assert out.shape == (48, 41, 3)
+    assert np.isfinite(out).all()
+    # small image on the same engine takes the normal bucketed path
+    small = np_rng.uniform(size=(16, 16, 3)).astype(np.float32)
+    out2 = eng.predict(small)
+    assert out2.shape == (16, 16, 3)
+
+
+def test_data_parallel_mesh(engine, np_rng):
+    """Batch sharded over a 4-device 'data' mesh matches the single-device
+    engine bit-for-bit (running BN has no cross-batch coupling)."""
+    import jax
+    from fdgan_tpu.dist.mesh import make_mesh
+
+    mesh = make_mesh(n_data=4, devices=jax.devices()[:4])
+    params = fdgan.init(jax.random.PRNGKey(0))
+    eng = InferenceEngine(
+        params, precision="fp32", bn_mode="running", bucket=64, mesh=mesh
+    )
+    assert eng.batch_sizes == (4, 8, 16, 32)  # default ladder × data size
+    imgs = [np_rng.uniform(size=(32, 48, 3)).astype(np.float32) for _ in range(3)]
+    outs = eng.predict_batch(imgs)  # 3 images → one sharded batch-4 dispatch
+    for img, out in zip(imgs, outs):
+        np.testing.assert_allclose(out, _direct(engine, img), rtol=0, atol=0)
+
+
+def test_input_validation(engine):
+    with pytest.raises(ValueError):
+        engine.predict(np.zeros((32, 32), np.float32))
+    with pytest.raises(ValueError):
+        InferenceEngine({}, bucket=60)
+    with pytest.raises(ValueError):
+        InferenceEngine({}, batch_sizes=(4, 2))
+    import jax
+    from fdgan_tpu.dist.mesh import make_mesh
+
+    with pytest.raises(ValueError):
+        InferenceEngine(
+            {}, mesh=make_mesh(n_data=4, devices=jax.devices()[:4]), batch_sizes=(2,)
+        )
