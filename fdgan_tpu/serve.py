@@ -68,6 +68,10 @@ class InferenceEngine:
         the reference's ``nn.DataParallel``, demo.py:89). Every batch-ladder
         rung must be divisible by the data-axis size; with the default
         ladder it is scaled by that size automatically.
+    spatial : with a mesh whose 'spatial' axis is > 1, also shard the image
+        H dimension across it — GSPMD inserts the conv halo exchanges
+        (parity-tested in tests/test_dist.py). This is the latency lever for
+        few large images, complementing the batch ('data') throughput lever.
     """
 
     def __init__(
@@ -81,6 +85,7 @@ class InferenceEngine:
         tile: int = 0,
         halo: int = 128,
         mesh=None,
+        spatial: bool = False,
     ):
         if bucket % 8:
             raise ValueError("bucket must be a multiple of 8 (three ÷2 stages)")
@@ -106,7 +111,7 @@ class InferenceEngine:
             from fdgan_tpu.dist.mesh import batch_sharding, shard_params
 
             self._params = shard_params(cast, mesh)
-            self._batch_sharding = batch_sharding(mesh)
+            self._batch_sharding = batch_sharding(mesh, 1 if spatial else None)
         else:
             self._params = jax.device_put(cast)
             self._batch_sharding = None
@@ -207,7 +212,6 @@ class InferenceEngine:
         next_idx = 0
 
         def drain_one():
-            nonlocal next_idx
             y_async, metas = inflight.popleft()
             y = np.asarray(y_async)  # the per-batch sync point
             for slot, (idx, h, w) in enumerate(metas):

@@ -113,3 +113,19 @@ def test_demo_torch_pth_checkpoint(image_dirs, tmp_path):
     out = str(tmp_path / "result_pth")
     demo_main(["--valDataroot", ds, "--netG", pth, "--imageSize", "32", "--outDir", out])
     assert sorted(os.listdir(out)) == ["0.png", "1.png"]
+
+
+def test_serve_cli_folder(image_dirs, tmp_path):
+    """cli.serve dehazes a raw-image folder (no h5 repack) via the engine."""
+    from fdgan_tpu.cli.serve import main as serve_main
+
+    _, haze_dir = image_dirs
+    out = str(tmp_path / "served")
+    serve_main(
+        ["--inDir", haze_dir, "--outDir", out, "--precision", "fp32",
+         "--bucket", "32", "--maxBatch", "2"]
+    )
+    outs = sorted(os.listdir(out))
+    assert outs == ["0.png", "1.png"]
+    img = np.asarray(Image.open(os.path.join(out, "0.png")))
+    assert img.shape == (32, 32, 3)

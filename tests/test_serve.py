@@ -127,6 +127,24 @@ def test_data_parallel_mesh(engine, np_rng):
         np.testing.assert_allclose(out, _direct(engine, img), rtol=0, atol=0)
 
 
+def test_data_spatial_mesh(engine, np_rng):
+    """data×spatial 2×2 mesh: batch on 'data', image H on 'spatial' (GSPMD
+    halo exchange) still matches the single-device engine."""
+    import jax
+    from fdgan_tpu.dist.mesh import make_mesh
+
+    mesh = make_mesh(n_data=2, n_spatial=2, devices=jax.devices()[:4])
+    params = fdgan.init(jax.random.PRNGKey(0))
+    eng = InferenceEngine(
+        params, precision="fp32", bn_mode="running", bucket=64,
+        batch_sizes=(2,), mesh=mesh, spatial=True,
+    )
+    imgs = [np_rng.uniform(size=(48, 64, 3)).astype(np.float32) for _ in range(2)]
+    outs = eng.predict_batch(imgs)
+    for img, out in zip(imgs, outs):
+        np.testing.assert_allclose(out, _direct(engine, img), rtol=0, atol=1e-5)
+
+
 def test_input_validation(engine):
     with pytest.raises(ValueError):
         engine.predict(np.zeros((32, 32), np.float32))
