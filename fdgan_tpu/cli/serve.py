@@ -59,7 +59,8 @@ def main(argv=None):
         print("warning: no --netG given; using random-init weights (smoke mode)")
         params = fdgan.init(jax.random.PRNGKey(0))
 
-    ladder = tuple(b for b in (1, 2, 4, 8, 16) if b <= opt.maxBatch) or (1,)
+    ladder = tuple(sorted({b for b in (1, 2, 4, 8, 16) if b < opt.maxBatch}
+                          | {max(1, opt.maxBatch)}))
     engine = InferenceEngine(
         params,
         precision=opt.precision,
@@ -74,9 +75,16 @@ def main(argv=None):
         for name in names:
             yield load_rgb_image(os.path.join(opt.inDir, name)) / 255.0
 
+    # stem.png unless two inputs share a stem (a.jpg + a.png) — then keep
+    # the full name so nothing is silently overwritten
+    stems = [os.path.splitext(n)[0] for n in names]
+    out_names = [
+        (s if stems.count(s) == 1 else n) + ".png" for s, n in zip(stems, names)
+    ]
+
     t0 = time.time()
-    for name, out in zip(names, engine.stream(load_all(), depth=opt.depth)):
-        save_image_normalized(out, os.path.join(opt.outDir, os.path.splitext(name)[0] + ".png"))
+    for name, out_name, out in zip(names, out_names, engine.stream(load_all(), depth=opt.depth)):
+        save_image_normalized(out, os.path.join(opt.outDir, out_name))
         print(name)
     dt = time.time() - t0
     print(

@@ -57,7 +57,10 @@ class InferenceEngine:
         (reference-parity; couples images in a batch — padded slots are
         filled by repeating real images so statistics stay in-distribution).
     bucket : spatial bucket size; inputs are reflect-padded up to multiples
-        of this (must itself be a multiple of 8).
+        of this (must itself be a multiple of 8). Default 64 — except in
+        batch-BN mode, where it defaults to 8 (demo.py parity): spatial
+        padding enters the batch statistics, so batch mode trades program
+        reuse for stats fidelity unless you override it.
     batch_sizes : ascending ladder of compiled batch sizes.
     tile, halo : when ``tile`` > 0, images larger than ``tile`` on either
         axis are routed through halo-tiled inference (dist/tiling.py)
@@ -80,13 +83,15 @@ class InferenceEngine:
         *,
         precision: str = "bf16",
         bn_mode: str = "running",
-        bucket: int = 64,
+        bucket: Optional[int] = None,
         batch_sizes: Optional[Sequence[int]] = None,
         tile: int = 0,
         halo: int = 128,
         mesh=None,
         spatial: bool = False,
     ):
+        if bucket is None:
+            bucket = 8 if bn_mode == "batch" else 64
         if bucket % 8:
             raise ValueError("bucket must be a multiple of 8 (three ÷2 stages)")
         n_data = int(mesh.shape["data"]) if mesh is not None else 1
@@ -215,7 +220,8 @@ class InferenceEngine:
             y_async, metas = inflight.popleft()
             y = np.asarray(y_async)  # the per-batch sync point
             for slot, (idx, h, w) in enumerate(metas):
-                ready[idx] = y[slot, :h, :w]
+                # copy: a view would pin the whole padded batch buffer
+                ready[idx] = y[slot, :h, :w].copy()
 
         def emit():
             nonlocal next_idx
@@ -239,10 +245,13 @@ class InferenceEngine:
 
         Yields (async_result, metas) with metas[slot] = (orig_index, h, w);
         the result is NOT synced — callers decide when to fetch. Groups
-        flush per shape bucket at the top of the batch ladder; stragglers
-        flush at the end of the input."""
+        flush per shape bucket at the top of the batch ladder; to bound
+        head-of-line blocking (and the caller's reorder buffer) the
+        oldest group is force-flushed whenever more than 2×top images sit
+        staged across groups; remaining stragglers flush at end of input."""
         groups: dict = collections.defaultdict(list)  # (H,W) -> [(idx, img)]
         top = self.batch_sizes[-1]
+        max_pending = 2 * top
 
         def flush(key):
             H, W = key
@@ -281,6 +290,9 @@ class InferenceEngine:
             groups[key].append((idx, img))
             if len(groups[key]) == top:
                 yield flush(key)
+            elif sum(len(v) for v in groups.values()) > max_pending:
+                oldest = min(groups, key=lambda k: groups[k][0][0])
+                yield flush(oldest)
         for key in list(groups):
             yield flush(key)
 
@@ -290,16 +302,32 @@ class InferenceEngine:
         from fdgan_tpu.dist.tiling import tiled_apply
 
         h, w = img.shape[:2]
-        x = jnp.asarray(self._pad_hw(img, _round_up(h, 8), _round_up(w, 8)))[None]
-        y = tiled_apply(
-            lambda t: self._fwd(self._params, t), x, tile=self.tile, halo=self.halo
-        )
-        self.stats["images"] += 1
-        self.stats["batches"] += 1
-        self._pix_real += h * w
+        H, W = _round_up(h, 8), _round_up(w, 8)
+        x = jnp.asarray(self._pad_hw(img, H, W))[None]
+        with self._lock:
+            try:
+                n_before = self._fwd._cache_size()
+            except Exception:
+                n_before = None
+            y = tiled_apply(
+                lambda t: self._fwd(self._params, t), x, tile=self.tile, halo=self.halo
+            )
+            if n_before is not None:
+                try:
+                    self.stats["compiles"] += self._fwd._cache_size() - n_before
+                except Exception:
+                    pass
+            self.stats["images"] += 1
+            self.stats["batches"] += 1
+            self._pix_real += h * w
+            self._pix_padded += H * W - h * w
+            self.stats["padded_frac"] = self._pix_padded / max(
+                1, self._pix_real + self._pix_padded
+            )
         return y, [(idx, h, w)]
 
     @staticmethod
     def _collect(y: np.ndarray, metas, out: List[Optional[np.ndarray]]):
         for slot, (idx, h, w) in enumerate(metas):
-            out[idx] = y[slot, :h, :w]
+            # copy: a view would pin the whole padded batch buffer
+            out[idx] = y[slot, :h, :w].copy()

@@ -58,8 +58,10 @@ def test_predict_batch_ragged_order(engine, np_rng):
 
 
 def test_bucket_reuse_no_new_compiles(engine, np_rng):
+    # warm the (64, 64) bucket at batch rung 1 (no-op if already compiled)
+    engine.predict(np_rng.uniform(size=(32, 32, 3)).astype(np.float32))
     before = engine.stats["compiles"]
-    # different raw shapes, same (64, 64) bucket and batch rung as before
+    # different raw shape, same bucket and batch rung → program reuse
     out = engine.predict(np_rng.uniform(size=(50, 63, 3)).astype(np.float32))
     assert out.shape == (50, 63, 3)
     assert engine.stats["compiles"] == before
@@ -78,10 +80,15 @@ def test_stream_matches_predict_batch(engine, np_rng):
             np.testing.assert_allclose(a, b, rtol=0, atol=0)
 
 
-def test_stats_accounting(engine):
+def test_stats_accounting(engine, np_rng):
+    before_imgs = engine.stats["images"]
+    before_batches = engine.stats["batches"]
+    engine.predict_batch(
+        [np_rng.uniform(size=(32, 48, 3)).astype(np.float32) for _ in range(3)]
+    )
     s = engine.stats
-    assert s["images"] >= 10
-    assert s["batches"] >= 5
+    assert s["images"] == before_imgs + 3
+    assert s["batches"] >= before_batches + 1
     assert 0.0 <= s["padded_frac"] < 1.0
 
 
@@ -107,6 +114,23 @@ def test_tiled_route(np_rng):
     small = np_rng.uniform(size=(16, 16, 3)).astype(np.float32)
     out2 = eng.predict(small)
     assert out2.shape == (16, 16, 3)
+
+
+def test_staging_bounds_pending(np_rng):
+    """All-distinct buckets: the oldest group force-flushes once more than
+    2×top images sit staged, bounding head-of-line blocking (and the
+    stream() reorder buffer). Uses an identity forward — no compiles."""
+    eng = InferenceEngine({}, precision="fp32", bucket=8, batch_sizes=(4,))
+    eng._fwd = lambda p, x: x
+    imgs = [np_rng.uniform(size=(8 * (i + 1), 8, 3)).astype(np.float32) for i in range(12)]
+    staged = eng._stage(enumerate(imgs))
+    first_metas = next(staged)[1]
+    assert first_metas[0][0] == 0  # oldest (idx 0) flushed before input end
+    assert len(list(staged)) == 11  # remaining groups still flush
+    # identity forward → crops round-trip the inputs exactly
+    outs = eng.predict_batch(imgs[:2])
+    for img, out in zip(imgs, outs):
+        np.testing.assert_array_equal(out, img)
 
 
 def test_data_parallel_mesh(engine, np_rng):

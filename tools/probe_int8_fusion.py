@@ -62,7 +62,9 @@ def run_shape(cin, cout, kk, pad):
     @jax.jit
     def loop_b(x, w):
         def body(i, c):
-            xi = x + (i % 2).astype(jnp.int8)  # keep the int8 buffer live
+            # carried dependency: xi depends on c, c on the previous y —
+            # iterations serialise and cannot be CSE'd/dead-coded
+            xi = x + (c.astype(jnp.int32) % 2).astype(jnp.int8)
             y = conv(xi.astype(jnp.bfloat16) * jnp.bfloat16(1 / 127), w)
             return jnp.max(y).astype(jnp.float32) * 1e-9
         return lax.fori_loop(0, ITERS, body, jnp.zeros((), jnp.float32))
