@@ -48,6 +48,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--poolSize", type=int, default=50)
     p.add_argument("--logEvery", type=int, default=10)
     p.add_argument("--debugNans", action="store_true", help="enable jax_debug_nans NaN screen")
+    p.add_argument("--accumSteps", type=int, default=1,
+                   help="accumulate G grads over this many microbatches "
+                        "(activation-memory lever for high-res; batchSize "
+                        "must divide by it; not combined with --poolSize)")
     p.add_argument("--remat", action="store_true",
                    help="jax.checkpoint the G forward (recompute activations in "
                         "backward — trades FLOPs for memory at high res)")
@@ -148,7 +152,7 @@ def main(argv=None):
     else:
         train_step = make_train_step(
             tx_g, tx_d, weights, vgg_params, compute_dtype,
-            impl=opt.impl, remat=opt.remat,
+            impl=opt.impl, remat=opt.remat, accum_steps=opt.accumSteps,
         )
 
     # data-parallel mesh over the largest device count that divides the batch

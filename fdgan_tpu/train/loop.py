@@ -121,8 +121,16 @@ def make_train_step(
     impl: str = "xla",
     interpret: bool = False,
     remat: bool = False,
+    accum_steps: int = 1,
 ):
-    """Build the jitted (donated-state) alternating train step."""
+    """Build the jitted (donated-state) alternating train step.
+
+    ``accum_steps`` > 1 accumulates G gradients over that many microbatches
+    via ``lax.scan`` — activation memory drops ~accum_steps× (the lever for
+    high-res training, composing with ``remat``). Note the BatchNorm batch
+    statistics then cover each microbatch, not the full batch (the same
+    virtual-batch semantics torch gradient accumulation has); the folded
+    running stats average the per-microbatch moments."""
     g_forward = _make_g_forward(compute_dtype, impl, interpret, remat)
 
     def g_loss_fn(g_params, d_params, haze, gt):
@@ -134,12 +142,46 @@ def make_train_step(
         loss, terms = discriminator_loss(d_params, x_hat, gt.astype(compute_dtype))
         return loss, terms
 
+    def g_value_and_grad(g_params, d_params, haze, gt):
+        """(loss, terms, bn_stats, x_hat, grads) — single pass or scan."""
+        if accum_steps == 1:
+            (loss, (terms, stats, x_hat)), grads = jax.value_and_grad(
+                g_loss_fn, has_aux=True
+            )(g_params, d_params, haze, gt)
+            return loss, terms, stats, x_hat, grads
+
+        b = haze.shape[0]
+        if b % accum_steps:
+            raise ValueError(f"batch {b} not divisible by accum_steps {accum_steps}")
+        micro = b // accum_steps
+        reshape = lambda x: x.reshape(accum_steps, micro, *x.shape[1:])
+
+        def body(grads_acc, chunk):
+            h_c, g_c = chunk
+            (loss, (terms, stats, x_hat)), grads = jax.value_and_grad(
+                g_loss_fn, has_aux=True
+            )(g_params, d_params, h_c, g_c)
+            grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
+            return grads_acc, (loss, terms, stats, x_hat)
+
+        zeros = jax.tree.map(jnp.zeros_like, g_params)
+        grads_sum, (losses, terms_s, stats_s, xh_s) = jax.lax.scan(
+            body, zeros, (reshape(haze), reshape(gt))
+        )
+        inv = 1.0 / accum_steps
+        grads = jax.tree.map(lambda g: g * inv, grads_sum)
+        terms = jax.tree.map(lambda t: jnp.mean(t, axis=0), terms_s)
+        # per-microbatch BN moments → averaged (equal-size chunks)
+        stats = jax.tree.map(lambda s: jnp.mean(s, axis=0), stats_s)
+        x_hat = xh_s.reshape(b, *xh_s.shape[2:])
+        return jnp.mean(losses), terms, stats, x_hat, grads
+
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, haze: jax.Array, gt: jax.Array, rng: jax.Array):
         # --- G update ---
-        (g_loss, (g_terms, bn_stats, x_hat)), g_grads = jax.value_and_grad(
-            g_loss_fn, has_aux=True
-        )(state.g_params, state.d_params, haze, gt)
+        g_loss, g_terms, bn_stats, x_hat, g_grads = g_value_and_grad(
+            state.g_params, state.d_params, haze, gt
+        )
         g_updates, g_opt = tx_g.update(g_grads, state.g_opt, state.g_params)
         g_params = optax.apply_updates(state.g_params, g_updates)
         if update_bn_stats:

@@ -84,3 +84,68 @@ def test_image_pool():
     assert out.mean() in (1.0, 2.0, 3.0)
     pool0 = ImagePool(pool_size=0)
     assert pool0.query(a) is a
+
+
+def test_grad_accumulation_matches_equivalent_microbatching():
+    """accum_steps=2 over batch 4 applies the mean of the two half-batch G
+    gradients. SGD(1.0) makes the update linear in the grads, so the new
+    params equal `before − mean(grad_half1, grad_half2)` exactly (Adam at
+    step 1 is ~sign(grad) and would amplify reassociation noise)."""
+    import optax
+
+    from fdgan_tpu.train.loop import TrainState
+
+    rng = jax.random.PRNGKey(0)
+    base, _, _ = create_train_state(rng)
+    tx = optax.sgd(1.0)
+    state = TrainState(
+        step=base.step,
+        g_params=base.g_params,
+        d_params=base.d_params,
+        g_opt=tx.init(base.g_params),
+        d_opt=tx.init(base.d_params),
+    )
+    step2 = make_train_step(
+        tx, tx, LossWeights(perceptual=0.0), accum_steps=2, update_bn_stats=False
+    )
+    haze = jax.random.uniform(jax.random.PRNGKey(1), (4, 32, 32, 3))
+    gt = jax.random.uniform(jax.random.PRNGKey(2), (4, 32, 32, 3))
+
+    # manual two-pass reference for the G update (same math as the scan)
+    from fdgan_tpu.losses.composite import generator_loss
+    from fdgan_tpu.models import fdgan_fast
+
+    def g_loss(g_params, h, g):
+        x_hat = fdgan_fast.apply(g_params, h, stats_out={})
+        loss, _ = generator_loss(state.d_params, x_hat, g, LossWeights(perceptual=0.0))
+        return loss
+
+    # jit the reference too: unjitted CPU conv backward differs from the
+    # jitted one by ~1e-4 (fusion/reduction order), which is not what this
+    # test is about
+    g_grad = jax.jit(jax.grad(g_loss))
+    grads = [
+        g_grad(state.g_params, haze[i * 2:(i + 1) * 2], gt[i * 2:(i + 1) * 2])
+        for i in range(2)
+    ]
+    g_before = jax.tree.map(np.asarray, state.g_params)
+    new_state, metrics = step2(state, haze, gt, jax.random.PRNGKey(3))
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k
+
+    name = "conv_refin1"
+    expect = g_before[name]["kernel"] - 0.5 * (
+        np.asarray(grads[0][name]["kernel"]) + np.asarray(grads[1][name]["kernel"])
+    )
+    np.testing.assert_allclose(
+        np.asarray(new_state.g_params[name]["kernel"]), expect, atol=1e-5
+    )
+
+
+def test_grad_accumulation_batch_divisibility():
+    rng = jax.random.PRNGKey(0)
+    state, tx_g, tx_d = create_train_state(rng)
+    step3 = make_train_step(tx_g, tx_d, LossWeights(perceptual=0.0), accum_steps=3)
+    haze = jax.random.uniform(jax.random.PRNGKey(1), (4, 32, 32, 3))
+    with pytest.raises(ValueError):
+        step3(state, haze, haze, jax.random.PRNGKey(3))
