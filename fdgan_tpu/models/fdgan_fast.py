@@ -37,8 +37,11 @@ def _fold(norm: dict, mean: jax.Array, var: jax.Array, dtype) -> Tuple[jax.Array
 
 
 def _stats(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
-    xf = x.astype(jnp.float32)
-    return jnp.mean(xf, axis=(0, 1, 2)), jnp.var(xf, axis=(0, 1, 2))
+    # single-consumer fused reductions — see nn.layers.batch_norm; a shared
+    # fp32 cast would materialise the whole tensor (2 GB @1024² batch 4)
+    mean = jnp.mean(x, axis=(0, 1, 2), dtype=jnp.float32)
+    mean_sq = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=(0, 1, 2))
+    return mean, jnp.maximum(mean_sq - jnp.square(mean), 0.0)
 
 
 class _SegStats:

@@ -142,10 +142,13 @@ def batch_norm(
     """
     if mode == "batch":
         # fp32 statistics regardless of activation dtype: BN mean/var in
-        # bf16 loses enough precision to visibly shift PSNR.
-        xf = x.astype(jnp.float32)
-        mean = jnp.mean(xf, axis=(0, 1, 2))
-        var = jnp.var(xf, axis=(0, 1, 2))
+        # bf16 loses enough precision to visibly shift PSNR. Single-consumer
+        # fused reductions (convert/square fuse into each reduce): a shared
+        # x.astype(f32) operand would materialise the full fp32 tensor —
+        # the dominant HBM allocation at high resolution.
+        mean = jnp.mean(x, axis=(0, 1, 2), dtype=jnp.float32)
+        mean_sq = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=(0, 1, 2))
+        var = jnp.maximum(mean_sq - jnp.square(mean), 0.0)
         if stats_out is not None and stats_key is not None:
             n = x.shape[0] * x.shape[1] * x.shape[2]
             correction = n / max(n - 1, 1)

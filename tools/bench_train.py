@@ -1,7 +1,11 @@
 """Training-step throughput on the live chip (BASELINE config 4: full
 adversarial training — G + fusion-D + SSIM; perceptual off without VGG
-weights). Same single-dispatch methodology as bench.py."""
+weights). Same single-dispatch methodology as bench.py.
 
+--accum / --remat exercise the high-res memory levers (gradient
+accumulation over microbatches, rematerialised G forward)."""
+
+import argparse
 import time
 
 import jax
@@ -13,28 +17,43 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 from fdgan_tpu.losses.composite import LossWeights
 from fdgan_tpu.train.loop import create_train_state, make_train_step
 
-BATCH, SIZE = 4, 256
 
-state, tx_g, tx_d = create_train_state(jax.random.PRNGKey(0))
-step = make_train_step(tx_g, tx_d, LossWeights(perceptual=0.0), compute_dtype=jnp.bfloat16)
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--size", type=int, default=256)
+    ap.add_argument("--accum", type=int, default=1)
+    ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--iters", type=int, default=10)
+    args = ap.parse_args()
 
-haze = jax.random.uniform(jax.random.PRNGKey(1), (BATCH, SIZE, SIZE, 3))
-gt = jax.random.uniform(jax.random.PRNGKey(2), (BATCH, SIZE, SIZE, 3))
-rng = jax.random.PRNGKey(3)
+    state, tx_g, tx_d = create_train_state(jax.random.PRNGKey(0))
+    step = make_train_step(
+        tx_g, tx_d, LossWeights(perceptual=0.0), compute_dtype=jnp.bfloat16,
+        accum_steps=args.accum, remat=args.remat,
+    )
 
-# warm/compile
-state, metrics = step(state, haze, gt, rng)
-jax.block_until_ready(metrics["g_total"])
-float(metrics["g_total"])
+    haze = jax.random.uniform(jax.random.PRNGKey(1), (args.batch, args.size, args.size, 3))
+    gt = jax.random.uniform(jax.random.PRNGKey(2), (args.batch, args.size, args.size, 3))
+    rng = jax.random.PRNGKey(3)
 
-ITERS = 10
-t0 = time.perf_counter()
-for i in range(ITERS):
-    state, metrics = step(state, haze, gt, jax.random.fold_in(rng, i))
-# one final sync through a scalar fetch
-g = float(metrics["g_total"])
-dt = time.perf_counter() - t0
-print(
-    f"train step {BATCH}@{SIZE}² bf16: {dt / ITERS * 1000:.1f} ms/step → "
-    f"{BATCH * ITERS / dt:.2f} img/s (g_loss {g:.3f})"
-)
+    # warm/compile
+    state, metrics = step(state, haze, gt, rng)
+    jax.block_until_ready(metrics["g_total"])
+    float(metrics["g_total"])
+
+    t0 = time.perf_counter()
+    for i in range(args.iters):
+        state, metrics = step(state, haze, gt, jax.random.fold_in(rng, i))
+    # one final sync through a scalar fetch
+    g = float(metrics["g_total"])
+    dt = time.perf_counter() - t0
+    print(
+        f"train step {args.batch}@{args.size}² bf16 accum={args.accum} "
+        f"remat={args.remat}: {dt / args.iters * 1000:.1f} ms/step → "
+        f"{args.batch * args.iters / dt:.2f} img/s (g_loss {g:.3f})"
+    )
+
+
+if __name__ == "__main__":
+    main()
