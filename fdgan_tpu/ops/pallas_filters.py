@@ -58,16 +58,48 @@ def _freq_kernel(xpadn_ref, xz_ref, blur_ref, lap_ref, *, tile_h: int, width: in
     lap_ref[0] = s - 9.0 * z[1 : 1 + tile_h, 1 : 1 + width]
 
 
-def _plane_filters(xpadn: jax.Array, xz: jax.Array, interpret: bool):
+def _slab(v: jax.Array, h: int, tile_h: int, halo: int) -> jax.Array:
+    """(P, h+2*halo, W) → (P*n, tile_h+2*halo, W) overlapping H-slabs.
+
+    Pallas block origins are multiples of the block shape, so overlapping
+    halo reads cannot be expressed in an index_map; the slabs are gathered
+    on the XLA side instead (extra copy ≈ halo/tile_h of the input)."""
+    n = -(-h // tile_h)
+    pad = n * tile_h - h
+    if pad:
+        v = jnp.pad(v, ((0, 0), (0, pad), (0, 0)))
+    slabs = jnp.stack(
+        [
+            jax.lax.dynamic_slice_in_dim(v, t * tile_h, tile_h + 2 * halo, axis=1)
+            for t in range(n)
+        ],
+        axis=1,
+    )
+    return slabs.reshape(v.shape[0] * n, tile_h + 2 * halo, v.shape[2])
+
+
+def _plane_filters(
+    xpadn: jax.Array, xz: jax.Array, interpret: bool, tile_h: int = 0
+):
     """(P, H+14, W+14) normalised-reflect planes + (P, H+2, W+2) zero-pad raw
-    planes → (blur, laplace) each (P, H, W). One grid step per plane; the
-    whole plane lives in VMEM (fits comfortably up to ~1024²)."""
+    planes → (blur, laplace) each (P, H, W). One grid step per plane (whole
+    plane VMEM-resident, fine up to ~1024²); ``tile_h`` > 0 splits each
+    plane into H-slabs so arbitrary heights (NTIRE 1600²+) fit VMEM."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     planes, hp, wp = xpadn.shape
     h = hp - 2 * _P
     w = wp - 2 * _P
+
+    if tile_h and tile_h < h:
+        n = -(-h // tile_h)
+        xpadn_s = _slab(xpadn, h, tile_h, _P)
+        xz_s = _slab(xz, h, tile_h, 1)
+        blur_s, lap_s = _plane_filters(xpadn_s, xz_s, interpret)
+        blur = blur_s.reshape(planes, n * tile_h, w)[:, :h]
+        lap = lap_s.reshape(planes, n * tile_h, w)[:, :h]
+        return blur, lap
 
     kernel = functools.partial(_freq_kernel, tile_h=h, width=w)
     blur, lap = pl.pallas_call(
@@ -90,13 +122,24 @@ def _plane_filters(xpadn: jax.Array, xz: jax.Array, interpret: bool):
     return blur, lap
 
 
-def frequency_fuse_pallas(x: jax.Array, interpret: bool = False) -> jax.Array:
+def frequency_fuse_pallas(
+    x: jax.Array, interpret: bool = False, tile_h: int = 0
+) -> jax.Array:
     """Fused concat[RGB, LF, HF] (NHWC, 9 channels out) via the Pallas kernel.
 
-    Whole-plane VMEM residency: suitable up to ~1024² inputs (beyond that,
-    use the XLA path or spatial tiling at a higher level).
+    Planes are VMEM-resident; above 1024 rows they are automatically split
+    into overlapping H-slabs (``tile_h``, default 512) so NTIRE-scale
+    (1600²+) inputs fit. Pass ``tile_h`` explicitly to override.
     """
     b, h, w, c = x.shape
+    if tile_h == 0 and h > 1024:
+        # VMEM budget, fitted from measured scoped-vmem OOMs @1600 wide
+        # (512 rows → 58.3 MB, 256 rows → 32.5 MB ⇒ ~0.1 MB/row + ~7 MB
+        # fixed against the 16 MB scoped limit): 64 rows is safe up to
+        # ~4k-wide planes; rounded to a power of two
+        import math
+
+        tile_h = max(32, 2 ** int(math.log2(max(2.0, 110_000 / (w + 14)))))
     mean = jnp.asarray(IMAGENET_MEAN, x.dtype)
     std = jnp.asarray(IMAGENET_STD, x.dtype)
     xn = (x - mean) / std
@@ -110,7 +153,7 @@ def frequency_fuse_pallas(x: jax.Array, interpret: bool = False) -> jax.Array:
     xpadn = jnp.pad(xn_p, ((0, 0), (_P, _P), (_P, _P)), mode="reflect")
     xz = jnp.pad(x_p, ((0, 0), (1, 1), (1, 1)))
 
-    blur_p, lap_p = _plane_filters(xpadn, xz, interpret)
+    blur_p, lap_p = _plane_filters(xpadn, xz, interpret, tile_h=tile_h)
 
     def from_planes(v):
         return v.reshape(b, c, h, w).transpose(0, 2, 3, 1)
