@@ -10,6 +10,7 @@ Design: NHWC tensors, HWIO conv kernels, pure-functional parameter pytrees,
 and Pallas kernels for the depthwise frequency-filter hot path.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
-from fdgan_tpu import nn, ops, models, losses, data, train, dist, io, utils  # noqa: F401
+from fdgan_tpu import nn, ops, models, losses, data, train, dist, io, serve, utils  # noqa: F401
+from fdgan_tpu.serve import InferenceEngine  # noqa: F401

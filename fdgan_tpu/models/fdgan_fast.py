@@ -37,11 +37,11 @@ def _fold(norm: dict, mean: jax.Array, var: jax.Array, dtype) -> Tuple[jax.Array
 
 
 def _stats(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
-    # single-consumer fused reductions — see nn.layers.batch_norm; a shared
-    # fp32 cast would materialise the whole tensor (2 GB @1024² batch 4)
-    mean = jnp.mean(x, axis=(0, 1, 2), dtype=jnp.float32)
-    mean_sq = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=(0, 1, 2))
-    return mean, jnp.maximum(mean_sq - jnp.square(mean), 0.0)
+    # dtype-split fused statistics — one-pass for bf16 (saves a whole pass
+    # over x), two-pass for fp32 parity; see nn.layers._batch_stats
+    from fdgan_tpu.nn.layers import _batch_stats
+
+    return _batch_stats(x, axis=(0, 1, 2))
 
 
 class _SegStats:

@@ -122,6 +122,28 @@ def batch_norm_init(c: int, dtype=jnp.float32) -> dict:
     }
 
 
+def _batch_stats(x: jax.Array, axis) -> tuple:
+    """fp32 per-channel (mean, biased var) with no fp32 materialisation of x.
+
+    Each reduction consumes its OWN fused elementwise chain — a shared
+    ``x.astype(f32)`` operand would materialise the full fp32 tensor (2 GB
+    @1024² batch 4, the dominant HBM allocation at high resolution).
+
+    bf16 activations use the one-pass E[x²]−μ² form: it saves a whole pass
+    over x (+10 % end-to-end at 512², PERFORMANCE.md) and its fp32
+    cancellation term is far below bf16 input quantisation noise. fp32
+    activations (checkpoint-parity mode) use the cancellation-free two-pass
+    form — one-pass measurably costs torch-oracle parity there.
+    """
+    mean = jnp.mean(x, axis=axis, dtype=jnp.float32)
+    if x.dtype == jnp.bfloat16:
+        mean_sq = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=axis)
+        var = jnp.maximum(mean_sq - jnp.square(mean), 0.0)
+    else:
+        var = jnp.mean(jnp.square(x.astype(jnp.float32) - mean), axis=axis)
+    return mean, var
+
+
 def batch_norm(
     params: dict,
     x: jax.Array,
@@ -141,14 +163,7 @@ def batch_norm(
     step can fold it into the running statistics torch-style.
     """
     if mode == "batch":
-        # fp32 statistics regardless of activation dtype: BN mean/var in
-        # bf16 loses enough precision to visibly shift PSNR. Single-consumer
-        # fused reductions (convert/square fuse into each reduce): a shared
-        # x.astype(f32) operand would materialise the full fp32 tensor —
-        # the dominant HBM allocation at high resolution.
-        mean = jnp.mean(x, axis=(0, 1, 2), dtype=jnp.float32)
-        mean_sq = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=(0, 1, 2))
-        var = jnp.maximum(mean_sq - jnp.square(mean), 0.0)
+        mean, var = _batch_stats(x, axis=(0, 1, 2))
         if stats_out is not None and stats_key is not None:
             n = x.shape[0] * x.shape[1] * x.shape[2]
             correction = n / max(n - 1, 1)

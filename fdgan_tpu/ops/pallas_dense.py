@@ -75,11 +75,11 @@ def fold_bn(scale, bias, mean, var, dtype=jnp.float32) -> Tuple[jax.Array, jax.A
 
 def channel_stats(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
     """Biased per-channel mean/var over (B, H, W) in fp32 — identical to the
-    batch-mode statistics of nn.layers.batch_norm (single-consumer fused
-    reductions; a shared fp32 cast would materialise the whole tensor)."""
-    mean = jnp.mean(x, axis=(0, 1, 2), dtype=jnp.float32)
-    mean_sq = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=(0, 1, 2))
-    return mean, jnp.maximum(mean_sq - jnp.square(mean), 0.0)
+    batch-mode statistics of nn.layers.batch_norm (dtype-split fused
+    reductions; see nn.layers._batch_stats)."""
+    from fdgan_tpu.nn.layers import _batch_stats
+
+    return _batch_stats(x, axis=(0, 1, 2))
 
 
 # ---------------------------------------------------------------------------

@@ -33,6 +33,9 @@ def main():
 
     if opt.cpu:
         jax.config.update("jax_platforms", "cpu")
+    # fp32 parity on TPU requires true fp32 conv accumulation — the default
+    # routes fp32 convs through bf16 passes (~1e-2 error, ~58 dB "parity")
+    jax.config.update("jax_default_matmul_precision", "highest")
 
     import jax.numpy as jnp
     import torch
