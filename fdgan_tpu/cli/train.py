@@ -140,6 +140,11 @@ def main(argv=None):
     )
     compute_dtype = jnp.bfloat16 if opt.precision == "bf16" else jnp.float32
     use_pool = opt.poolSize > 0
+    if use_pool and opt.accumSteps > 1:
+        raise SystemExit(
+            "--accumSteps > 1 requires --poolSize 0 (the ImagePool G/D split "
+            "does not accumulate; it would silently ignore the flag)"
+        )
     if use_pool:
         from fdgan_tpu.train.loop import make_gd_steps
         from fdgan_tpu.train.pool import ImagePool
