@@ -65,6 +65,11 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None):
     opt = build_parser().parse_args(argv)
     print(opt)
+    if opt.poolSize > 0 and opt.accumSteps > 1:
+        raise SystemExit(
+            "--accumSteps > 1 requires --poolSize 0 (the ImagePool G/D split "
+            "does not accumulate; it would silently ignore the flag)"
+        )
 
     import jax
     import jax.numpy as jnp
@@ -140,11 +145,6 @@ def main(argv=None):
     )
     compute_dtype = jnp.bfloat16 if opt.precision == "bf16" else jnp.float32
     use_pool = opt.poolSize > 0
-    if use_pool and opt.accumSteps > 1:
-        raise SystemExit(
-            "--accumSteps > 1 requires --poolSize 0 (the ImagePool G/D split "
-            "does not accumulate; it would silently ignore the flag)"
-        )
     if use_pool:
         from fdgan_tpu.train.loop import make_gd_steps
         from fdgan_tpu.train.pool import ImagePool
@@ -207,8 +207,8 @@ def main(argv=None):
     for epoch in range(opt.epochs):
         t_epoch = time.time()
         for haze, gt in loader:
-            if haze.shape[0] % n_data != 0:
-                continue  # ragged final batch under DP
+            if haze.shape[0] % n_data or haze.shape[0] % opt.accumSteps:
+                continue  # ragged final batch (DP shards / accum microbatches)
             batch = shard_batch((haze, gt), mesh)
             step_rng, sub = jax.random.split(step_rng)
             if use_pool:

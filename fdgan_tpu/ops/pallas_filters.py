@@ -127,16 +127,20 @@ def frequency_fuse_pallas(
 ) -> jax.Array:
     """Fused concat[RGB, LF, HF] (NHWC, 9 channels out) via the Pallas kernel.
 
-    Planes are VMEM-resident; above 1024 rows they are automatically split
-    into overlapping H-slabs (``tile_h``, default 512) so NTIRE-scale
-    (1600²+) inputs fit. Pass ``tile_h`` explicitly to override.
+    Planes are VMEM-resident; above the on-chip-validated 512² whole-plane
+    area they are automatically split into overlapping H-slabs whose height
+    is fitted to the plane width (e.g. 64 rows at 1600 wide) so NTIRE-scale
+    (1600²+) inputs fit the scoped-VMEM limit. Pass ``tile_h`` explicitly
+    to override the fitted value.
     """
     b, h, w, c = x.shape
-    if tile_h == 0 and h > 1024:
-        # VMEM budget, fitted from measured scoped-vmem OOMs @1600 wide
-        # (512 rows → 58.3 MB, 256 rows → 32.5 MB ⇒ ~0.1 MB/row + ~7 MB
-        # fixed against the 16 MB scoped limit): 64 rows is safe up to
-        # ~4k-wide planes; rounded to a power of two
+    if tile_h == 0 and h * w > 512 * 512:
+        # VMEM budget, fitted from measured scoped-vmem OOMs (whole-plane
+        # 1024² → 62.7 MB, slabs @1600 wide: 512 rows → 58.3 MB, 256 rows →
+        # 32.5 MB, against the 16 MB scoped limit; whole-plane 512² ≈
+        # 15.5 MB is the largest validated-on-chip resident plane):
+        # rows ≈ 110k/(w+14), rounded down to a power of two — 64 rows is
+        # safe up to ~4k-wide planes.
         import math
 
         tile_h = max(32, 2 ** int(math.log2(max(2.0, 110_000 / (w + 14)))))

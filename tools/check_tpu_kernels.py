@@ -28,3 +28,14 @@ err = np.abs(ref - got).max()
 print(f"dense_block_fused pallas-vs-xla max err: {err:.2e}")
 assert err < 5e-3
 print("TPU pallas kernels OK")
+
+# H-slab tiling path (gated automatically above 512² plane area): validate
+# the NTIRE-scale sizes against the HIGHEST-precision XLA reference
+for h, w in [(1024, 1024), (1600, 1600)]:
+    xl = jax.random.uniform(jax.random.PRNGKey(3), (1, h, w, 3), jnp.float32)
+    ref = np.asarray(jax.jit(frequency_fuse)(xl))
+    got = np.asarray(jax.jit(frequency_fuse_pallas)(xl))
+    err = np.abs(ref - got).max()
+    print(f"frequency_fuse slab {h}x{w} max err: {err:.2e}")
+    assert err < 1e-3
+print("TPU pallas slab tiling OK")
