@@ -138,3 +138,29 @@ def test_activations_vs_torch(np_rng):
         _np(leaky_relu(jnp.asarray(x), 0.2)), F.leaky_relu(torch.from_numpy(x), 0.2).numpy(), atol=1e-6
     )
     np.testing.assert_allclose(_np(elu(jnp.asarray(x))), F.elu(torch.from_numpy(x)).numpy(), atol=1e-6)
+
+
+def test_batch_stats_dtype_split(np_rng):
+    """fp32 path must equal jnp.var exactly (torch parity depends on the
+    cancellation-free two-pass form); bf16 one-pass must agree to within
+    bf16 input noise."""
+    import jax.numpy as jnp
+
+    from fdgan_tpu.nn.layers import _batch_stats
+
+    x = np_rng.normal(3.0, 0.05, (4, 16, 16, 8)).astype(np.float32)  # mean >> std
+    m32, v32 = _batch_stats(jnp.asarray(x), axis=(0, 1, 2))
+    np.testing.assert_array_equal(np.asarray(m32), np.mean(x, axis=(0, 1, 2)))
+    np.testing.assert_allclose(
+        np.asarray(v32), np.var(x, axis=(0, 1, 2)), rtol=1e-6
+    )
+    xb = jnp.asarray(x, jnp.bfloat16)
+    mb, vb = _batch_stats(xb, axis=(0, 1, 2))
+    assert mb.dtype == jnp.float32 and vb.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(mb), np.mean(x, axis=(0, 1, 2)), rtol=1e-2)
+    # var of a (μ=3, σ=0.05) input: bf16 quantisation noise (~δ²/12) is the
+    # error floor; one-pass fp32 cancellation must stay within that regime
+    np.testing.assert_allclose(
+        np.asarray(vb), np.var(x, axis=(0, 1, 2)), rtol=0.5, atol=2e-4
+    )
+    assert (np.asarray(vb) >= 0).all()
