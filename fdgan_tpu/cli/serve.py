@@ -30,6 +30,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--bucket", type=int, default=64)
     p.add_argument("--maxBatch", type=int, default=8)
     p.add_argument("--depth", type=int, default=4, help="in-flight batches")
+    p.add_argument("--maxWait", type=float, default=0.0,
+                   help="flush a partially-filled batch after this many "
+                        "seconds (0 = wait for a full batch)")
     p.add_argument("--tile", type=int, default=0, help="halo-tile images above this size")
     p.add_argument("--halo", type=int, default=128)
     return p
@@ -83,7 +86,8 @@ def main(argv=None):
     ]
 
     t0 = time.time()
-    for name, out_name, out in zip(names, out_names, engine.stream(load_all(), depth=opt.depth)):
+    results = engine.stream(load_all(), depth=opt.depth, max_wait=opt.maxWait)
+    for name, out_name, out in zip(names, out_names, results):
         save_image_normalized(out, os.path.join(opt.outDir, out_name))
         print(name)
     dt = time.time() - t0

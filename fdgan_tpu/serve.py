@@ -206,12 +206,16 @@ class InferenceEngine:
         return out  # type: ignore[return-value]
 
     def stream(
-        self, images: Iterable[np.ndarray], depth: int = 2
+        self, images: Iterable[np.ndarray], depth: int = 2, max_wait: float = 0.0
     ) -> Iterator[np.ndarray]:
         """Pipelined streaming inference, yielding results in input order.
 
         Up to ``depth`` dispatched batches stay in flight; host staging of
-        later batches overlaps device compute of earlier ones."""
+        later batches overlaps device compute of earlier ones. ``max_wait``
+        (seconds, 0 = off) bounds per-image staging latency: a group whose
+        oldest image has waited longer is flushed below its ladder rung when
+        the next image arrives (arrival-driven — an idle input iterator does
+        not trigger flushes)."""
         inflight: collections.deque = collections.deque()
         ready: dict = {}
         next_idx = 0
@@ -229,7 +233,7 @@ class InferenceEngine:
                 yield ready.pop(next_idx)
                 next_idx += 1
 
-        for staged in self._stage(enumerate(images)):
+        for staged in self._stage(enumerate(images), max_wait=max_wait):
             inflight.append(staged)
             while len(inflight) > depth:
                 drain_one()
@@ -240,7 +244,7 @@ class InferenceEngine:
 
     # --- staging ---------------------------------------------------------------
 
-    def _stage(self, indexed_images):
+    def _stage(self, indexed_images, max_wait: float = 0.0):
         """Group (index, image) pairs into dispatched device batches.
 
         Yields (async_result, metas) with metas[slot] = (orig_index, h, w);
@@ -248,8 +252,13 @@ class InferenceEngine:
         flush per shape bucket at the top of the batch ladder; to bound
         head-of-line blocking (and the caller's reorder buffer) the
         oldest group is force-flushed whenever more than 2×top images sit
-        staged across groups; remaining stragglers flush at end of input."""
+        staged across groups, or (``max_wait`` > 0) when its oldest image
+        has waited longer than that many seconds at the next arrival;
+        remaining stragglers flush at end of input."""
+        import time as _time
+
         groups: dict = collections.defaultdict(list)  # (H,W) -> [(idx, img)]
+        born: dict = {}  # (H,W) -> arrival time of the group's oldest image
         top = self.batch_sizes[-1]
         max_pending = 2 * top
 
@@ -287,12 +296,22 @@ class InferenceEngine:
                 yield self._stage_tiled(idx, img)
                 continue
             key = self._bucket_hw(img.shape[0], img.shape[1])
+            if key not in groups:
+                born[key] = _time.monotonic()
             groups[key].append((idx, img))
             if len(groups[key]) == top:
+                born.pop(key, None)
                 yield flush(key)
             elif sum(len(v) for v in groups.values()) > max_pending:
                 oldest = min(groups, key=lambda k: groups[k][0][0])
+                born.pop(oldest, None)
                 yield flush(oldest)
+            if max_wait > 0:
+                now = _time.monotonic()
+                for k in [k for k, t0 in born.items() if now - t0 > max_wait]:
+                    if k in groups:
+                        born.pop(k, None)
+                        yield flush(k)
         for key in list(groups):
             yield flush(key)
 

@@ -133,6 +133,29 @@ def test_staging_bounds_pending(np_rng):
         np.testing.assert_array_equal(out, img)
 
 
+def test_stream_max_wait_flushes_partial_group(np_rng):
+    """A group older than max_wait flushes below its ladder rung at the
+    next arrival (identity forward — no compiles)."""
+    import time
+
+    eng = InferenceEngine({}, precision="fp32", bucket=8, batch_sizes=(4,))
+    eng._fwd = lambda p, x: x
+    imgs = [np_rng.uniform(size=(8, 8, 3)).astype(np.float32) for _ in range(3)]
+
+    def slow():
+        yield imgs[0]
+        time.sleep(0.05)
+        yield imgs[1]  # same bucket: group age now exceeds max_wait
+        yield imgs[2]
+
+    staged = eng._stage(enumerate(slow()), max_wait=0.02)
+    first_batch_metas = next(staged)[1]
+    assert [m[0] for m in first_batch_metas] == [0, 1]  # flushed early, partial
+    outs = list(eng.stream(iter(slow()), max_wait=0.02))
+    for img, out in zip(imgs, outs):
+        np.testing.assert_array_equal(out, img)
+
+
 def test_data_parallel_mesh(engine, np_rng):
     """Batch sharded over a 4-device 'data' mesh matches the single-device
     engine bit-for-bit (running BN has no cross-batch coupling)."""
