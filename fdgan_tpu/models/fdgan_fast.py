@@ -92,28 +92,60 @@ class _SegStats:
         return _fold(norm, norm["mean"], norm["var"], dtype)
 
 
-def _dense_layer_fast(lp: dict, x: jax.Array, stats: _SegStats, name: str = "") -> jax.Array:
+def _dense_layer_fast(
+    lp: dict, x: jax.Array, stats: _SegStats, name: str = "", remat: bool = False
+) -> jax.Array:
     a1, b1 = stats.fold(lp["norm1"], x.dtype, f"{name}.norm1" if name else None)
-    t = relu(x * a1 + b1)
-    h = conv2d(lp["conv1"], t, padding=0)
-    if stats.mode == "batch":
-        m2, v2 = _stats(h)
-        if name and stats.collector is not None:
-            stats.collector[f"{stats.prefix}{name}.norm2"] = (m2, v2 * stats.correction)
-        a2, b2 = _fold(lp["norm2"], m2, v2, x.dtype)
-    else:
-        a2, b2 = _fold(lp["norm2"], lp["norm2"]["mean"], lp["norm2"]["var"], x.dtype)
-    g = relu(h * a2 + b2)
-    return conv2d(lp["conv2"], g, padding=1)
+    mode = stats.mode
+
+    # the heavy compute is a pure core (its batch statistics are returned,
+    # not written through the collector closure) so it can be wrapped in
+    # jax.checkpoint: under remat the backward stores only the layer inputs
+    # (the concat, which is a residual anyway) and recomputes t/h/g — the
+    # structured high-res memory lever (layer-level, vs wholesale remat
+    # whose backward peak still equals the full unremat backward)
+    def core(lp_, x_, a1_, b1_):
+        t = relu(x_ * a1_ + b1_)
+        h = conv2d(lp_["conv1"], t, padding=0)
+        if mode == "batch":
+            m2, v2 = _stats(h)
+            a2, b2 = _fold(lp_["norm2"], m2, v2, x_.dtype)
+        else:
+            m2 = v2 = ()
+            a2, b2 = _fold(lp_["norm2"], lp_["norm2"]["mean"], lp_["norm2"]["var"], x_.dtype)
+        g = relu(h * a2 + b2)
+        return conv2d(lp_["conv2"], g, padding=1), (m2, v2)
+
+    if remat:
+        core = jax.checkpoint(core)
+    f, (m2, v2) = core(lp, x, a1, b1)
+    if mode == "batch" and name and stats.collector is not None:
+        stats.collector[f"{stats.prefix}{name}.norm2"] = (m2, v2 * stats.correction)
+    return f
 
 
-def _dense_block_fast(params: dict, x: jax.Array, stats: _SegStats) -> Tuple[jax.Array, _SegStats]:
+def _dense_block_fast(
+    params: dict, x: jax.Array, stats: _SegStats, remat: bool = False
+) -> Tuple[jax.Array, _SegStats]:
     for i in range(len(params)):
         name = f"denselayer{i + 1}"
-        f = _dense_layer_fast(params[name], x, stats, name)
+        f = _dense_layer_fast(params[name], x, stats, name, remat=remat)
         stats.append(f)
         x = jnp.concatenate([x, f], axis=-1)
     return x, stats
+
+
+def _dec_stage(pb: dict, pt: dict, v: jax.Array, remat: bool) -> jax.Array:
+    """Decoder bottleneck+transition at full/half resolution — checkpointed
+    under remat (its activations are the largest of the backward pass)."""
+
+    def core(pb_, pt_, v_):
+        y = bottleneck_apply(pb_, v_, use_bn=False)
+        return transition_apply(pt_, y, resize="up2", use_bn=False)
+
+    if remat:
+        core = jax.checkpoint(core)
+    return core(pb, pt, v)
 
 
 def _transition_fast(params: dict, x: jax.Array, stats: _SegStats) -> jax.Array:
@@ -141,39 +173,40 @@ def apply(
     x: jax.Array,
     bn_mode: str = "batch",
     stats_out: Optional[dict] = None,
+    remat: bool = False,
 ) -> jax.Array:
     """Optimised FDGAN forward; same outputs as fdgan.apply (fp tolerance).
     ``stats_out`` captures per-BN batch statistics under the same paths as
-    fdgan.apply, for the train step's running-stat folding."""
+    fdgan.apply, for the train step's running-stat folding. ``remat``
+    checkpoints every dense layer and decoder stage individually (values
+    identical; backward recomputes instead of storing activations — the
+    structured high-res training memory lever)."""
     x0 = _stem(params, x)
     x01 = conv2d(params["conv_refin2"], avg_pool(x0, 2), padding=0)
 
     s1 = _SegStats(x0, bn_mode, stats_out, "dense_block1.")
-    x1, s1 = _dense_block_fast(params["dense_block1"], x0, s1)
+    x1, s1 = _dense_block_fast(params["dense_block1"], x0, s1, remat=remat)
     s1.prefix = "trans_block1."
     x1 = _transition_fast(params["trans_block1"], x1, s1)
 
     x10 = conv2d(params["conv_refine4"], jnp.concatenate([x01, x1], axis=-1), padding=1)
     s2 = _SegStats(x10, bn_mode, stats_out, "dense_block2.")
-    x2, s2 = _dense_block_fast(params["dense_block2"], x10, s2)
+    x2, s2 = _dense_block_fast(params["dense_block2"], x10, s2, remat=remat)
     s2.prefix = "trans_block2."
     x2 = _transition_fast(params["trans_block2"], x2, s2)
 
     s3 = _SegStats(x2, bn_mode, stats_out, "dense_block3.")
-    x3, s3 = _dense_block_fast(params["dense_block3"], x2, s3)
+    x3, s3 = _dense_block_fast(params["dense_block3"], x2, s3, remat=remat)
     s3.prefix = "trans_block3."
     x3 = _transition_fast(params["trans_block3"], x3, s3)
     x22 = conv2d(params["conv_refin5"], avg_pool(x2, 2), padding=0)
 
     x4 = conv2d(params["conv_refin6"], jnp.concatenate([x3, x22], axis=-1), padding=1)
-    x4 = bottleneck_apply(params["dense_block4"], x4, use_bn=False)
-    x4 = transition_apply(params["trans_block4"], x4, resize="up2", use_bn=False)
+    x4 = _dec_stage(params["dense_block4"], params["trans_block4"], x4, remat)
 
     x42 = jnp.concatenate([x4, x2], axis=-1)
-    x5 = bottleneck_apply(params["dense_block5"], x42, use_bn=False)
-    x5 = transition_apply(params["trans_block5"], x5, resize="up2", use_bn=False)
+    x5 = _dec_stage(params["dense_block5"], params["trans_block5"], x42, remat)
 
-    x6 = bottleneck_apply(params["dense_block6"], x5, use_bn=False)
-    x6 = transition_apply(params["trans_block6"], x6, resize="up2", use_bn=False)
+    x6 = _dec_stage(params["dense_block6"], params["trans_block6"], x5, remat)
 
     return tanh(conv2d(params["conv_refin3"], x6, padding=1))

@@ -93,9 +93,11 @@ def _make_g_forward(compute_dtype, impl: str, interpret: bool, remat: bool):
     impl='xla' uses the optimised fdgan_fast forward (numerically identical
     to fdgan.apply, captures the same per-BN batch statistics);
     impl='pallas' routes the encoder dense blocks through the fused Pallas
-    kernel (differentiable via its custom VJP). `remat` wraps the forward in
-    jax.checkpoint — activations are recomputed in the backward pass, the
-    high-res memory lever (SURVEY §5 long-context row)."""
+    kernel (differentiable via its custom VJP). `remat` rematerialises
+    activations in the backward pass — structured per-layer/per-stage
+    checkpoints on the xla path (much lower backward peak than a wholesale
+    wrap), a whole-forward jax.checkpoint on the pallas path — the high-res
+    memory lever (SURVEY §5 long-context row)."""
 
     def forward(g_params, haze):
         stats: dict = {}
@@ -105,10 +107,13 @@ def _make_g_forward(compute_dtype, impl: str, interpret: bool, remat: bool):
                 stats_out=stats, impl="pallas", interpret=interpret,
             )
         else:
-            x_hat = fdgan_fast.apply(g_params, haze.astype(compute_dtype), stats_out=stats)
+            x_hat = fdgan_fast.apply(
+                g_params, haze.astype(compute_dtype), stats_out=stats,
+                remat=remat and impl == "xla",
+            )
         return x_hat, stats
 
-    return jax.checkpoint(forward) if remat else forward
+    return jax.checkpoint(forward) if (remat and impl == "pallas") else forward
 
 
 def make_train_step(

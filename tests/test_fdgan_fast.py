@@ -51,3 +51,34 @@ def test_fast_stats_capture_matches_base(rng, np_rng):
     for k in base_stats:
         for a, b in zip(base_stats[k], fast_stats[k]):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4, err_msg=k)
+
+
+def test_structured_remat_identical(rng):
+    """remat=True (per-layer/per-stage jax.checkpoint) must be value- and
+    gradient-identical to the plain forward; only the backward schedule
+    differs."""
+    import jax
+    import jax.numpy as jnp
+
+    from fdgan_tpu.models import fdgan, fdgan_fast
+
+    params = fdgan.init(rng)
+    x = jax.random.uniform(jax.random.PRNGKey(7), (2, 32, 32, 3))
+
+    for mode in ("batch", "running"):
+        s0, s1 = {}, {}
+        y0 = jax.jit(lambda p, v: fdgan_fast.apply(p, v, bn_mode=mode, stats_out=s0))(params, x)
+        y1 = jax.jit(
+            lambda p, v: fdgan_fast.apply(p, v, bn_mode=mode, stats_out=s1, remat=True)
+        )(params, x)
+        np.testing.assert_array_equal(np.asarray(y0), np.asarray(y1))
+
+    def loss(p, v, remat):
+        return jnp.sum(jnp.abs(fdgan_fast.apply(p, v, stats_out={}, remat=remat)))
+
+    g0 = jax.jit(jax.grad(lambda p, v: loss(p, v, False)))(params, x)
+    g1 = jax.jit(jax.grad(lambda p, v: loss(p, v, True)))(params, x)
+    leaves0 = jax.tree_util.tree_leaves(g0)
+    leaves1 = jax.tree_util.tree_leaves(g1)
+    for a, b in zip(leaves0, leaves1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-4)
