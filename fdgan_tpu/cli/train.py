@@ -52,6 +52,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="accumulate G grads over this many microbatches "
                         "(activation-memory lever for high-res; batchSize "
                         "must divide by it; not combined with --poolSize)")
+    p.add_argument("--rematStages", action="store_true",
+                   help="also checkpoint whole encoder stages (max-memory "
+                        "remat: fits 1536² microbatches; ~13%% slower)")
     p.add_argument("--remat", action="store_true",
                    help="jax.checkpoint the G forward (recompute activations in "
                         "backward — trades FLOPs for memory at high res)")
@@ -144,6 +147,7 @@ def main(argv=None):
         contextual=opt.lambdaCX,
     )
     compute_dtype = jnp.bfloat16 if opt.precision == "bf16" else jnp.float32
+    remat = "stages" if opt.rematStages else opt.remat
     use_pool = opt.poolSize > 0
     if use_pool:
         from fdgan_tpu.train.loop import make_gd_steps
@@ -151,13 +155,13 @@ def main(argv=None):
 
         g_step, d_step = make_gd_steps(
             tx_g, tx_d, weights, vgg_params, compute_dtype,
-            impl=opt.impl, remat=opt.remat,
+            impl=opt.impl, remat=remat,
         )
         pool = ImagePool(opt.poolSize, seed=opt.seed)
     else:
         train_step = make_train_step(
             tx_g, tx_d, weights, vgg_params, compute_dtype,
-            impl=opt.impl, remat=opt.remat, accum_steps=opt.accumSteps,
+            impl=opt.impl, remat=remat, accum_steps=opt.accumSteps,
         )
 
     # data-parallel mesh over the largest device count that divides the batch

@@ -109,7 +109,7 @@ def _make_g_forward(compute_dtype, impl: str, interpret: bool, remat: bool):
         else:
             x_hat = fdgan_fast.apply(
                 g_params, haze.astype(compute_dtype), stats_out=stats,
-                remat=remat and impl == "xla",
+                remat=remat if impl == "xla" else False,
             )
         return x_hat, stats
 

@@ -66,12 +66,19 @@ def test_structured_remat_identical(rng):
     x = jax.random.uniform(jax.random.PRNGKey(7), (2, 32, 32, 3))
 
     for mode in ("batch", "running"):
-        s0, s1 = {}, {}
-        y0 = jax.jit(lambda p, v: fdgan_fast.apply(p, v, bn_mode=mode, stats_out=s0))(params, x)
-        y1 = jax.jit(
-            lambda p, v: fdgan_fast.apply(p, v, bn_mode=mode, stats_out=s1, remat=True)
-        )(params, x)
-        np.testing.assert_array_equal(np.asarray(y0), np.asarray(y1))
+        def run(p, v, remat):
+            s = {}
+            y = fdgan_fast.apply(p, v, bn_mode=mode, stats_out=s, remat=remat)
+            return y, s
+
+        y0, s0 = jax.jit(lambda p, v: run(p, v, False))(params, x)
+        for level in (True, "stages"):
+            y1, s1 = jax.jit(lambda p, v: run(p, v, level))(params, x)
+            np.testing.assert_array_equal(np.asarray(y0), np.asarray(y1))
+            assert sorted(s0) == sorted(s1)
+            for k in s0:
+                for a, b in zip(s0[k], s1[k]):
+                    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
     def loss(p, v, remat):
         return jnp.sum(jnp.abs(fdgan_fast.apply(p, v, stats_out={}, remat=remat)))

@@ -24,13 +24,16 @@ def main():
     ap.add_argument("--size", type=int, default=256)
     ap.add_argument("--accum", type=int, default=1)
     ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--stages", action="store_true",
+                    help="stage-level remat (remat='stages'): max memory, ~13% slower")
     ap.add_argument("--iters", type=int, default=10)
     args = ap.parse_args()
 
+    remat = "stages" if args.stages else args.remat
     state, tx_g, tx_d = create_train_state(jax.random.PRNGKey(0))
     step = make_train_step(
         tx_g, tx_d, LossWeights(perceptual=0.0), compute_dtype=jnp.bfloat16,
-        accum_steps=args.accum, remat=args.remat,
+        accum_steps=args.accum, remat=remat,
     )
 
     haze = jax.random.uniform(jax.random.PRNGKey(1), (args.batch, args.size, args.size, 3))
@@ -50,7 +53,7 @@ def main():
     dt = time.perf_counter() - t0
     print(
         f"train step {args.batch}@{args.size}² bf16 accum={args.accum} "
-        f"remat={args.remat}: {dt / args.iters * 1000:.1f} ms/step → "
+        f"remat={remat}: {dt / args.iters * 1000:.1f} ms/step → "
         f"{args.batch * args.iters / dt:.2f} img/s (g_loss {g:.3f})"
     )
 
