@@ -143,7 +143,7 @@ def _enc_stage(
     prefix_block: str,
     prefix_trans: str,
     capture: bool,
-    remat: bool,
+    remat: "bool | str",
 ) -> Tuple[jax.Array, dict]:
     """One encoder stage (dense block + transition) as a pure function whose
     batch statistics are explicit pytree outputs (a local collector dict),
@@ -216,6 +216,8 @@ def apply(
     wholesale wrap); "stages" additionally checkpoints each encoder
     block+transition, so the backward stores one block's concats at a time
     (fits 1@1536²; ~13 % slower at 1024² — use only when memory demands)."""
+    if remat not in (False, True, "stages"):
+        raise ValueError(f"remat must be False, True or 'stages'; got {remat!r}")
     x0 = _stem(params, x)
     x01 = conv2d(params["conv_refin2"], avg_pool(x0, 2), padding=0)
 

@@ -99,6 +99,13 @@ def _make_g_forward(compute_dtype, impl: str, interpret: bool, remat: bool):
     wrap), a whole-forward jax.checkpoint on the pallas path — the high-res
     memory lever (SURVEY §5 long-context row)."""
 
+    if impl == "pallas" and remat == "stages":
+        print(
+            "WARNING: --rematStages is an xla-path feature; the pallas path "
+            "falls back to a whole-forward jax.checkpoint (higher backward "
+            "peak — per-layer/stage checkpoints are not available there)"
+        )
+
     def forward(g_params, haze):
         stats: dict = {}
         if impl == "pallas":
@@ -108,8 +115,7 @@ def _make_g_forward(compute_dtype, impl: str, interpret: bool, remat: bool):
             )
         else:
             x_hat = fdgan_fast.apply(
-                g_params, haze.astype(compute_dtype), stats_out=stats,
-                remat=remat if impl == "xla" else False,
+                g_params, haze.astype(compute_dtype), stats_out=stats, remat=remat
             )
         return x_hat, stats
 
@@ -125,7 +131,7 @@ def make_train_step(
     update_bn_stats: bool = True,
     impl: str = "xla",
     interpret: bool = False,
-    remat: bool = False,
+    remat: "bool | str" = False,  # False | True (per-layer) | "stages"
     accum_steps: int = 1,
 ):
     """Build the jitted (donated-state) alternating train step.
@@ -222,7 +228,7 @@ def make_gd_steps(
     update_bn_stats: bool = True,
     impl: str = "xla",
     interpret: bool = False,
-    remat: bool = False,
+    remat: "bool | str" = False,  # False | True (per-layer) | "stages"
 ):
     """Split G/D steps for ImagePool-style training (misc.py:140-161): the
     G step returns the generated batch; the host pools it and feeds a
