@@ -23,12 +23,22 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def maybe_init_distributed() -> None:
-    """Initialise multi-host JAX when launched under a cluster env."""
+    """Initialise multi-host JAX when launched under a cluster env.
+
+    Failures are logged, not swallowed silently: a cluster job that falls
+    back to single-host should say so loudly."""
     if os.environ.get("FDGAN_TPU_DIST", "") and jax.process_count() == 1:
         try:
             jax.distributed.initialize()
-        except Exception:  # already initialised or single-host
-            pass
+        except Exception as e:  # already initialised or single-host
+            import warnings
+
+            warnings.warn(
+                f"FDGAN_TPU_DIST is set but jax.distributed.initialize() "
+                f"failed ({type(e).__name__}: {e}); continuing single-host",
+                RuntimeWarning,
+                stacklevel=2,
+            )
 
 
 def make_mesh(

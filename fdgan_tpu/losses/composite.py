@@ -91,14 +91,16 @@ def discriminator_loss(
     d_params: dict,
     x_hat: jax.Array,
     gt: jax.Array,
+    real_label: float = 1.0,
 ) -> tuple[jax.Array, dict]:
-    """Fusion-D objective: BCE(D(fuse(gt)),1) + BCE(D(fuse(x̂.detach())),0).
+    """Fusion-D objective: BCE(D(fuse(gt)),real_label) + BCE(D(fuse(x̂.detach())),0).
 
     Same range contract as ``generator_loss``: ``x_hat`` tanh [-1,1],
-    ``gt`` [0,1]."""
+    ``gt`` [0,1]. ``real_label`` < 1 enables one-sided label smoothing
+    (D-saturation fix — see losses.gan.d_loss)."""
     x01 = jax.lax.stop_gradient((x_hat + 1.0) * 0.5)
     y01 = gt
     d_real = fusion_apply(d_params, y01)
     d_fake = fusion_apply(d_params, x01)
-    loss = _d_loss(d_real, d_fake)
+    loss = _d_loss(d_real, d_fake, real_label)
     return loss, {"d_total": loss, "d_real": jnp.mean(d_real), "d_fake": jnp.mean(d_fake)}

@@ -24,9 +24,14 @@ def bce(pred: jax.Array, target: float) -> jax.Array:
     return -jnp.mean(target * jnp.log(p) + (1.0 - target) * jnp.log(1.0 - p))
 
 
-def d_loss(d_real: jax.Array, d_fake: jax.Array) -> jax.Array:
-    """BCE(D(real),1) + BCE(D(fake),0)."""
-    return bce(d_real, 1.0) + bce(d_fake, 0.0)
+def d_loss(d_real: jax.Array, d_fake: jax.Array, real_label: float = 1.0) -> jax.Array:
+    """BCE(D(real),real_label) + BCE(D(fake),0).
+
+    ``real_label`` < 1 is one-sided label smoothing (Salimans et al. 2016):
+    it stops D from saturating on real samples, which keeps the adversarial
+    gradient alive for G late in training (the D(real)→0.99 drift seen in
+    the round-2 dynamics artifact)."""
+    return bce(d_real, real_label) + bce(d_fake, 0.0)
 
 
 def g_adv_loss(d_fake: jax.Array) -> jax.Array:

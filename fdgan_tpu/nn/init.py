@@ -6,6 +6,7 @@ conv kernels ~ N(0, 0.02); BN scale ~ N(1, 0.02), BN bias = 0.
 
 from __future__ import annotations
 
+import zlib
 from typing import Iterator
 
 import jax
@@ -28,35 +29,30 @@ def _is_bn(d: dict) -> bool:
     return "scale" in d and "mean" in d
 
 
+def _path_key(rng: jax.Array, path: tuple) -> jax.Array:
+    # stable across processes: crc32 of the joined path, NOT Python hash()
+    # (which is salted per process via PYTHONHASHSEED — same-seed runs would
+    # otherwise produce different inits)
+    return jax.random.fold_in(rng, zlib.crc32("/".join(path).encode()) & 0x7FFFFFFF)
+
+
 def dcgan_init(rng: jax.Array, params: dict) -> dict:
     """Re-draw every conv kernel from N(0, 0.02) and every BN scale from
     N(1, 0.02) with zero bias, preserving running stats — the DCGAN init the
-    reference applies before training."""
-    flat = []
-
-    def walk(tree, path):
-        if isinstance(tree, dict):
-            if _is_conv(tree):
-                flat.append((path, tree))
-            elif _is_bn(tree):
-                flat.append((path, tree))
-            else:
-                for k, v in tree.items():
-                    walk(v, path + (k,))
-
-    walk(params, ())
+    reference applies before training (misc.py:16-22). Deterministic for a
+    given seed (path-keyed via crc32)."""
 
     def rebuild(tree, path):
         if isinstance(tree, dict):
             if _is_conv(tree):
-                k = jax.random.fold_in(rng, hash(path) % (2**31))
+                k = _path_key(rng, path)
                 new = dict(tree)
                 new["kernel"] = 0.02 * jax.random.normal(k, tree["kernel"].shape, tree["kernel"].dtype)
                 if "bias" in tree:
                     new["bias"] = jnp.zeros_like(tree["bias"])
                 return new
             if _is_bn(tree):
-                k = jax.random.fold_in(rng, hash(path) % (2**31))
+                k = _path_key(rng, path)
                 new = dict(tree)
                 new["scale"] = 1.0 + 0.02 * jax.random.normal(k, tree["scale"].shape, tree["scale"].dtype)
                 new["bias"] = jnp.zeros_like(tree["bias"])

@@ -133,6 +133,7 @@ def make_train_step(
     interpret: bool = False,
     remat: "bool | str" = False,  # False | True (per-layer) | "stages"
     accum_steps: int = 1,
+    real_label: float = 1.0,
 ):
     """Build the jitted (donated-state) alternating train step.
 
@@ -150,7 +151,9 @@ def make_train_step(
         return loss, (terms, stats, x_hat)
 
     def d_loss_fn(d_params, x_hat, gt):
-        loss, terms = discriminator_loss(d_params, x_hat, gt.astype(compute_dtype))
+        loss, terms = discriminator_loss(
+            d_params, x_hat, gt.astype(compute_dtype), real_label
+        )
         return loss, terms
 
     def g_value_and_grad(g_params, d_params, haze, gt):
@@ -229,6 +232,7 @@ def make_gd_steps(
     impl: str = "xla",
     interpret: bool = False,
     remat: "bool | str" = False,  # False | True (per-layer) | "stages"
+    real_label: float = 1.0,
 ):
     """Split G/D steps for ImagePool-style training (misc.py:140-161): the
     G step returns the generated batch; the host pools it and feeds a
@@ -261,7 +265,7 @@ def make_gd_steps(
     @jax.jit
     def d_step(state: TrainState, fake: jax.Array, gt: jax.Array):
         def loss_fn(d_params):
-            return discriminator_loss(d_params, fake, gt.astype(compute_dtype))
+            return discriminator_loss(d_params, fake, gt.astype(compute_dtype), real_label)
 
         (loss, terms), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.d_params)
         updates, d_opt = tx_d.update(grads, state.d_opt, state.d_params)

@@ -75,6 +75,52 @@ def test_contextual_loss_differentiable(np_rng):
     assert np.isfinite(np.asarray(grad)).all()
 
 
+def test_contextual_loss_vs_torch_oracle(np_rng):
+    """Numeric parity with the recovered ContextualLoss pyc semantics,
+    re-implemented independently in torch (tests/torch_oracle.py)."""
+    pytest.importorskip("torch")
+    import torch
+
+    from torch_oracle import ContextualLossOracle
+
+    oracle = ContextualLossOracle()
+    for b, h, w, c in ((1, 8, 8, 16), (2, 6, 5, 32), (3, 4, 4, 8)):
+        f = np_rng.standard_normal((b, h, w, c)).astype(np.float32)
+        g = np_rng.standard_normal((b, h, w, c)).astype(np.float32)
+        got = float(contextual_loss(jnp.asarray(f), jnp.asarray(g)))
+        ref = float(
+            oracle(
+                torch.from_numpy(f).permute(0, 3, 1, 2),
+                torch.from_numpy(g).permute(0, 3, 1, 2),
+            )
+        )
+        assert got == pytest.approx(ref, rel=1e-5, abs=1e-5)
+    # defaults must also match on non-default hyperparameters
+    f = np_rng.standard_normal((1, 6, 6, 12)).astype(np.float32)
+    g = np_rng.standard_normal((1, 6, 6, 12)).astype(np.float32)
+    got = float(contextual_loss(jnp.asarray(f), jnp.asarray(g), sigma=0.5, b=2.0, epsilon=1e-3))
+    oracle2 = ContextualLossOracle(sigma=0.5, b=2.0, epsilon=1e-3)
+    ref = float(
+        oracle2(
+            torch.from_numpy(f).permute(0, 3, 1, 2),
+            torch.from_numpy(g).permute(0, 3, 1, 2),
+        )
+    )
+    assert got == pytest.approx(ref, rel=1e-5, abs=1e-5)
+
+
+def test_d_loss_label_smoothing():
+    """real_label < 1 penalises a saturated D(real)→1 (keeps gradients alive)."""
+    sat = jnp.full((1, 4, 4, 1), 0.999)
+    fake = jnp.full((1, 4, 4, 1), 0.001)
+    plain = float(d_loss(sat, fake))
+    smooth = float(d_loss(sat, fake, real_label=0.9))
+    assert plain < smooth  # saturation is no longer the optimum
+    # optimum of the smoothed loss is at p = real_label
+    at_opt = float(d_loss(jnp.full((1, 4, 4, 1), 0.9), fake, real_label=0.9))
+    assert at_opt < smooth
+
+
 def test_generator_loss_with_vgg(rng, np_rng):
     """Perceptual + contextual paths exercised with random VGG weights."""
     from fdgan_tpu.models import vgg16

@@ -119,6 +119,50 @@ class FDGANOracle(nn.Module):
         return torch.tanh(self.conv_refin3(x6))
 
 
+class ContextualLossOracle(nn.Module):
+    """Torch mirror of the reference's orphaned ``ContextualLoss``
+    (loss.cpython-36.pyc lines 23-73, semantics recovered in SURVEY.md §2.9
+    #20), structured as the pyc's four helpers. Defaults sigma=0.1, b=1.0,
+    epsilon=1e-5, similarity='cos'. Inputs are NCHW feature maps (torch
+    convention); each spatial position is a C-vector."""
+
+    def __init__(self, sigma=0.1, b=1.0, epsilon=1e-5):
+        super().__init__()
+        self.sigma, self.b, self.epsilon = sigma, b, epsilon
+
+    @staticmethod
+    def _cos_distance(i_feat, t_feat):
+        # pyc 31-44: mean-centre BOTH sets by the target's per-sample channel
+        # mean, L2-normalise, d = 1 − ⟨î, t̂⟩
+        t_mean = t_feat.mean(dim=1, keepdim=True)
+        i_cent = i_feat - t_mean
+        t_cent = t_feat - t_mean
+        i_hat = i_cent / (i_cent.norm(dim=-1, keepdim=True) + 1e-12)
+        t_hat = t_cent / (t_cent.norm(dim=-1, keepdim=True) + 1e-12)
+        return 1.0 - torch.bmm(i_hat, t_hat.transpose(1, 2))
+
+    def _relative_distances(self, d):
+        # pyc 49-51: d̃ = d / (min over target positions + ε)
+        d_min, _ = d.min(dim=2, keepdim=True)
+        return d / (d_min + self.epsilon)
+
+    def _weighted_average_distances(self, d_tilde):
+        # pyc 53-57: w = exp((b − d̃)/σ), normalised over target positions
+        w = torch.exp((self.b - d_tilde) / self.sigma)
+        return w / w.sum(dim=2, keepdim=True)
+
+    def forward(self, image_features, target_features):
+        B, C, H, W = image_features.shape
+        i_feat = image_features.reshape(B, C, H * W).transpose(1, 2).float()
+        t_feat = target_features.reshape(B, C, H * W).transpose(1, 2).float()
+        d = self._cos_distance(i_feat, t_feat)
+        cx_ij = self._weighted_average_distances(self._relative_distances(d))
+        # pyc 59-68: per target position take the best image position,
+        # CX = −log(mean over target positions), averaged over the batch
+        cx, _ = cx_ij.max(dim=1)
+        return (-torch.log(cx.mean(dim=1) + 1e-12)).mean()
+
+
 class _Bottleneck(nn.Module):
     """BottleneckBlock with live BNs (dehaze1113.py:234-253)."""
 
