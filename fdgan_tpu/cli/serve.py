@@ -29,12 +29,23 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--bn_mode", choices=["batch", "running"], default="running")
     p.add_argument("--bucket", type=int, default=64)
     p.add_argument("--maxBatch", type=int, default=8)
+    p.add_argument("--batchSizes", default="",
+                   help="explicit comma-separated batch ladder (e.g. 1,2,4,8);"
+                        " overrides --maxBatch; each rung must divide by "
+                        "--dataShards")
     p.add_argument("--depth", type=int, default=4, help="in-flight batches")
     p.add_argument("--maxWait", type=float, default=0.0,
-                   help="flush a partially-filled batch after this many "
-                        "seconds (0 = wait for a full batch)")
+                   help="flush a partially-filled batch once its oldest image "
+                        "has waited this many seconds (0 = wait for a full "
+                        "batch); deadlines fire even if the input goes idle")
     p.add_argument("--tile", type=int, default=0, help="halo-tile images above this size")
     p.add_argument("--halo", type=int, default=128)
+    p.add_argument("--dataShards", type=int, default=0,
+                   help="shard batches over this many devices (mesh 'data' "
+                        "axis; 0 = no mesh, single device)")
+    p.add_argument("--spatialShards", type=int, default=1,
+                   help="with --dataShards: also shard the image H axis over "
+                        "this many devices (latency lever for large images)")
     return p
 
 
@@ -62,8 +73,29 @@ def main(argv=None):
         print("warning: no --netG given; using random-init weights (smoke mode)")
         params = fdgan.init(jax.random.PRNGKey(0))
 
-    ladder = tuple(sorted({b for b in (1, 2, 4, 8, 16) if b < opt.maxBatch}
-                          | {max(1, opt.maxBatch)}))
+    if opt.batchSizes:
+        ladder = tuple(sorted({int(b) for b in opt.batchSizes.split(",")}))
+    else:
+        ladder = tuple(sorted({b for b in (1, 2, 4, 8, 16) if b < opt.maxBatch}
+                              | {max(1, opt.maxBatch)}))
+    mesh = None
+    n_data = opt.dataShards or (1 if opt.spatialShards > 1 else 0)
+    if n_data:
+        import jax
+
+        from fdgan_tpu.dist.mesh import make_mesh
+
+        n = n_data * opt.spatialShards
+        if len(jax.devices()) < n:
+            raise SystemExit(
+                f"mesh {n_data}x{opt.spatialShards} needs {n} devices, "
+                f"have {len(jax.devices())}"
+            )
+        mesh = make_mesh(
+            n_data=n_data, n_spatial=opt.spatialShards, devices=jax.devices()[:n]
+        )
+        if not opt.batchSizes:
+            ladder = tuple(b * n_data for b in ladder)
     engine = InferenceEngine(
         params,
         precision=opt.precision,
@@ -72,6 +104,8 @@ def main(argv=None):
         batch_sizes=ladder,
         tile=opt.tile,
         halo=opt.halo,
+        mesh=mesh,
+        spatial=opt.spatialShards > 1,
     )
 
     def load_all():

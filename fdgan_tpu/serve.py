@@ -164,7 +164,11 @@ class InferenceEngine:
     # --- public API ------------------------------------------------------------
 
     def warmup(self, shapes: Iterable[Tuple[int, int]], batch: int = 1) -> None:
-        """Pre-compile the programs for the given (H, W) input shapes."""
+        """Pre-compile the programs for the given (H, W) input shapes.
+
+        Calls the compiled forward directly (not ``_dispatch``) so warmup
+        does not inflate the batch/image/padding statistics — only the
+        compile counter moves."""
         for h, w in shapes:
             H, W = self._bucket_hw(h, w)
             b = self._batch_bucket(batch)
@@ -173,20 +177,29 @@ class InferenceEngine:
                 x = jax.device_put(x, self._batch_sharding)
             else:
                 x = jnp.asarray(x)
-            self._dispatch(x).block_until_ready()
+            with self._lock:
+                n_before = self._cache_size()
+                y = self._fwd(self._params, x)
+                if n_before is not None:
+                    n_after = self._cache_size()
+                    if n_after is not None:
+                        self.stats["compiles"] += n_after - n_before
+            y.block_until_ready()
+
+    def _cache_size(self):
+        try:
+            return self._fwd._cache_size()
+        except Exception:
+            return None
 
     def _dispatch(self, x: jax.Array) -> jax.Array:
         with self._lock:
-            try:
-                n_before = self._fwd._cache_size()
-            except Exception:
-                n_before = None
+            n_before = self._cache_size()
             y = self._fwd(self._params, x)
             if n_before is not None:
-                try:
-                    self.stats["compiles"] += self._fwd._cache_size() - n_before
-                except Exception:
-                    pass
+                n_after = self._cache_size()
+                if n_after is not None:
+                    self.stats["compiles"] += n_after - n_before
             self.stats["batches"] += 1
         return y
 
@@ -213,9 +226,10 @@ class InferenceEngine:
         Up to ``depth`` dispatched batches stay in flight; host staging of
         later batches overlaps device compute of earlier ones. ``max_wait``
         (seconds, 0 = off) bounds per-image staging latency: a group whose
-        oldest image has waited longer is flushed below its ladder rung when
-        the next image arrives (arrival-driven — an idle input iterator does
-        not trigger flushes)."""
+        oldest image has waited longer is flushed below its ladder rung —
+        including when the input iterator goes idle (a producer thread feeds
+        a polled queue, so deadlines fire without new arrivals; the bound
+        still requires the consumer to keep iterating this generator)."""
         inflight: collections.deque = collections.deque()
         ready: dict = {}
         next_idx = 0
@@ -234,6 +248,14 @@ class InferenceEngine:
                 next_idx += 1
 
         for staged in self._stage(enumerate(images), max_wait=max_wait):
+            if staged is None:
+                # idle tick from _stage: the producer is quiet, so nothing
+                # gains from pipelining depth — drain one in-flight batch so
+                # finished results reach the caller within the latency bound
+                if inflight:
+                    drain_one()
+                    yield from emit()
+                continue
             inflight.append(staged)
             while len(inflight) > depth:
                 drain_one()
@@ -244,6 +266,40 @@ class InferenceEngine:
 
     # --- staging ---------------------------------------------------------------
 
+    def _timed_events(self, indexed_images, max_wait: float):
+        """Wrap an (idx, img) iterator so ``None`` ticks are emitted while
+        the producer is idle or blocking: a daemon thread pulls items into a
+        bounded queue; the consumer polls with a sub-``max_wait`` timeout.
+        This is what lets staging deadlines fire without new arrivals."""
+        import queue as _queue
+
+        q: _queue.Queue = _queue.Queue(maxsize=64)
+        sentinel = object()
+        err: list = []
+
+        def produce():
+            try:
+                for item in indexed_images:
+                    q.put(item)
+            except BaseException as e:  # re-raised on the consumer side
+                err.append(e)
+            finally:
+                q.put(sentinel)
+
+        threading.Thread(target=produce, daemon=True).start()
+        tick = max(max_wait / 4.0, 0.005)
+        while True:
+            try:
+                item = q.get(timeout=tick)
+            except _queue.Empty:
+                yield None
+                continue
+            if item is sentinel:
+                if err:
+                    raise err[0]
+                return
+            yield item
+
     def _stage(self, indexed_images, max_wait: float = 0.0):
         """Group (index, image) pairs into dispatched device batches.
 
@@ -253,8 +309,9 @@ class InferenceEngine:
         head-of-line blocking (and the caller's reorder buffer) the
         oldest group is force-flushed whenever more than 2×top images sit
         staged across groups, or (``max_wait`` > 0) when its oldest image
-        has waited longer than that many seconds at the next arrival;
-        remaining stragglers flush at end of input."""
+        has waited longer than that many seconds — checked on every arrival
+        AND on idle ticks from ``_timed_events``; remaining stragglers flush
+        at end of input."""
         import time as _time
 
         groups: dict = collections.defaultdict(list)  # (H,W) -> [(idx, img)]
@@ -278,17 +335,31 @@ class InferenceEngine:
             else:
                 batch = jnp.asarray(stacked)
             metas = [(idx, img.shape[0], img.shape[1]) for idx, img in items]
-            self._pix_real += sum(im.shape[0] * im.shape[1] for _, im in items)
-            self._pix_padded += b * H * W - sum(
-                im.shape[0] * im.shape[1] for _, im in items
-            )
-            self.stats["images"] += n
-            self.stats["padded_frac"] = self._pix_padded / max(
-                1, self._pix_real + self._pix_padded
-            )
+            real_pix = sum(im.shape[0] * im.shape[1] for _, im in items)
+            with self._lock:  # counters shared with concurrent predict() calls
+                self._pix_real += real_pix
+                self._pix_padded += b * H * W - real_pix
+                self.stats["images"] += n
+                self.stats["padded_frac"] = self._pix_padded / max(
+                    1, self._pix_real + self._pix_padded
+                )
             return self._dispatch(batch), metas
 
-        for idx, img in indexed_images:
+        def flush_aged():
+            now = _time.monotonic()
+            for k in [k for k, t0 in born.items() if now - t0 > max_wait]:
+                if k in groups:
+                    born.pop(k, None)
+                    yield flush(k)
+
+        if max_wait > 0:
+            indexed_images = self._timed_events(indexed_images, max_wait)
+        for item in indexed_images:
+            if item is None:  # idle tick — deadline check, then signal idle
+                yield from flush_aged()
+                yield None  # lets stream() drain in-flight work while quiet
+                continue
+            idx, img = item
             img = np.asarray(img, np.float32)
             if img.ndim != 3 or img.shape[-1] != 3:
                 raise ValueError(f"expected HWC RGB image, got shape {img.shape}")
@@ -307,35 +378,39 @@ class InferenceEngine:
                 born.pop(oldest, None)
                 yield flush(oldest)
             if max_wait > 0:
-                now = _time.monotonic()
-                for k in [k for k, t0 in born.items() if now - t0 > max_wait]:
-                    if k in groups:
-                        born.pop(k, None)
-                        yield flush(k)
+                yield from flush_aged()
         for key in list(groups):
             yield flush(key)
 
     def _stage_tiled(self, idx: int, img: np.ndarray):
         """High-res path: one image through halo-tiled inference (already an
-        async device array — same contract as a staged batch)."""
+        async device array — same contract as a staged batch).
+
+        With a mesh, each batch-1 tile is device_put REPLICATED (the 'data'
+        axis cannot shard a single tile; params are replicated anyway), so
+        tiled inference composes with a mesh engine at single-device speed
+        per tile — the ladder's data-divisibility rule applies only to the
+        bucketed route."""
         from fdgan_tpu.dist.tiling import tiled_apply
 
         h, w = img.shape[:2]
         H, W = _round_up(h, 8), _round_up(w, 8)
-        x = jnp.asarray(self._pad_hw(img, H, W))[None]
+        x = self._pad_hw(img, H, W)[None]
+        if self.mesh is not None:
+            from fdgan_tpu.dist.mesh import replicate_sharding
+
+            x = jax.device_put(x, replicate_sharding(self.mesh))
+        else:
+            x = jnp.asarray(x)
         with self._lock:
-            try:
-                n_before = self._fwd._cache_size()
-            except Exception:
-                n_before = None
+            n_before = self._cache_size()
             y = tiled_apply(
                 lambda t: self._fwd(self._params, t), x, tile=self.tile, halo=self.halo
             )
             if n_before is not None:
-                try:
-                    self.stats["compiles"] += self._fwd._cache_size() - n_before
-                except Exception:
-                    pass
+                n_after = self._cache_size()
+                if n_after is not None:
+                    self.stats["compiles"] += n_after - n_before
             self.stats["images"] += 1
             self.stats["batches"] += 1
             self._pix_real += h * w

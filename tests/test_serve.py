@@ -145,15 +145,82 @@ def test_stream_max_wait_flushes_partial_group(np_rng):
     def slow():
         yield imgs[0]
         time.sleep(0.05)
-        yield imgs[1]  # same bucket: group age now exceeds max_wait
+        yield imgs[1]  # same bucket, arrives after img 0's deadline passed
         yield imgs[2]
 
     staged = eng._stage(enumerate(slow()), max_wait=0.02)
-    first_batch_metas = next(staged)[1]
-    assert [m[0] for m in first_batch_metas] == [0, 1]  # flushed early, partial
+    first = next(s for s in staged if s is not None)  # skip idle markers
+    # img 0's group flushes partial (below the rung of 4) once its deadline
+    # passes — via the idle tick during the producer's sleep
+    assert [m[0] for m in first[1]] == [0]
     outs = list(eng.stream(iter(slow()), max_wait=0.02))
     for img, out in zip(imgs, outs):
         np.testing.assert_array_equal(out, img)
+
+
+def test_stream_max_wait_flushes_on_idle_input(np_rng):
+    """The latency bound holds WITHOUT new arrivals: a staged partial group
+    flushes once its deadline passes even though the producer is blocked
+    (VERDICT r2 item 5 — arrival-driven-only flushing fixed)."""
+    import threading
+    import time
+
+    eng = InferenceEngine({}, precision="fp32", bucket=8, batch_sizes=(4,))
+    eng._fwd = lambda p, x: x
+    imgs = [np_rng.uniform(size=(8, 8, 3)).astype(np.float32) for _ in range(2)]
+    release = threading.Event()
+
+    def stalling():
+        yield imgs[0]
+        release.wait(timeout=10.0)  # producer goes idle for a long time
+        yield imgs[1]
+
+    gen = eng.stream(stalling(), max_wait=0.05)
+    t0 = time.monotonic()
+    first = next(gen)  # must arrive via the idle-tick flush, not arrival
+    waited = time.monotonic() - t0
+    release.set()
+    np.testing.assert_array_equal(first, imgs[0])
+    assert waited < 5.0, f"idle flush did not fire (waited {waited:.2f}s)"
+    rest = list(gen)
+    assert len(rest) == 1
+    np.testing.assert_array_equal(rest[0], imgs[1])
+
+
+def test_warmup_does_not_skew_stats(np_rng):
+    """warmup() only moves the compile counter — batch/image/padding stats
+    stay untouched (they feed throughput reporting)."""
+    import jax
+
+    params = fdgan.init(jax.random.PRNGKey(0))
+    eng = InferenceEngine(
+        params, precision="fp32", bn_mode="running", bucket=16, batch_sizes=(1,)
+    )
+    eng.warmup([(16, 16)])
+    assert eng.stats["batches"] == 0
+    assert eng.stats["images"] == 0
+    assert eng.stats["padded_frac"] == 0.0
+    # and the warmed program is reused by the first real dispatch
+    before = eng.stats["compiles"]
+    eng.predict(np_rng.uniform(size=(16, 16, 3)).astype(np.float32))
+    assert eng.stats["compiles"] == before
+    assert eng.stats["batches"] == 1
+
+
+def test_mesh_tile_compose(np_rng):
+    """tile > 0 composes with a mesh: batch-1 tiles are device_put
+    replicated (the ladder's data-divisibility rule is bucketed-route-only)."""
+    import jax
+    from fdgan_tpu.dist.mesh import make_mesh
+
+    mesh = make_mesh(n_data=4, devices=jax.devices()[:4])
+    eng = InferenceEngine(
+        {}, precision="fp32", bucket=8, batch_sizes=(4,), tile=16, halo=4, mesh=mesh
+    )
+    eng._fwd = lambda p, x: x
+    big = np_rng.uniform(size=(24, 24, 3)).astype(np.float32)  # > tile → tiled
+    out = eng.predict(big)
+    np.testing.assert_allclose(out, big, atol=1e-6)
 
 
 def test_data_parallel_mesh(engine, np_rng):

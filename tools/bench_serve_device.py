@@ -1,0 +1,94 @@
+"""Device-resident serving-engine throughput (VERDICT r2 item 5).
+
+`tools/bench_serve.py` measures ~1 img/s end-to-end because every result
+fetch crosses the axon tunnel at ~4 MB/s — pure I/O, fairly blamed. This
+probe gives the engine a real number by keeping BOTH ends on device:
+
+* inputs for a mixed-shape workload are pre-staged (device_put once,
+  outside the timed window) into their engine buckets;
+* each dispatched batch is consumed ON DEVICE by a checksum reduction
+  (jnp.sum) accumulated into a running scalar — the only host fetch is the
+  final f32;
+* the timed window covers the engine's real dispatch path: program-cache
+  lookup, batch-ladder dispatch, async pipelining of K batches in flight.
+
+This is the throughput a co-located host (PCIe/DMA) would see from the
+engine, modulo its own staging costs.
+"""
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from fdgan_tpu.models import fdgan
+from fdgan_tpu.serve import InferenceEngine
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=512)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--nbatches", type=int, default=16)
+    ap.add_argument("--mixed", action="store_true",
+                    help="alternate two buckets (size and size-64) to also "
+                         "exercise the program-cache switch path")
+    ap.add_argument("--bn_mode", choices=["batch", "running"], default="batch")
+    args = ap.parse_args()
+
+    params = fdgan.init(jax.random.PRNGKey(0))
+    eng = InferenceEngine(
+        params,
+        precision="bf16",
+        bn_mode=args.bn_mode,
+        bucket=64,
+        batch_sizes=(args.batch,),
+    )
+
+    shapes = [(args.size, args.size)]
+    if args.mixed:
+        shapes.append((args.size - 64, args.size - 64))
+    eng.warmup(shapes, batch=args.batch)
+
+    # pre-stage the workload on device (outside the timed window)
+    staged = []
+    for i in range(args.nbatches):
+        h, w = shapes[i % len(shapes)]
+        x = jax.random.uniform(jax.random.fold_in(jax.random.PRNGKey(1), i),
+                               (args.batch, h, w, 3), jnp.float32)
+        staged.append(jax.device_put(x).block_until_ready())
+
+    # checksum consumer: result stays on device, one scalar survives
+    @jax.jit
+    def consume(acc, y):
+        return acc + jnp.sum(y, dtype=jnp.float32)
+
+    # untimed pass to compile consume for each shape
+    acc = jnp.zeros((), jnp.float32)
+    for x in staged[: len(shapes)]:
+        acc = consume(acc, eng._dispatch(x))
+    float(acc)
+
+    t0 = time.perf_counter()
+    acc = jnp.zeros((), jnp.float32)
+    for x in staged:
+        acc = consume(acc, eng._dispatch(x))
+    checksum = float(acc)  # the single sync point
+    dt = time.perf_counter() - t0
+
+    imgs = args.batch * args.nbatches
+    print(
+        f"engine device-resident: {imgs} imgs @{args.size}² "
+        f"({len(shapes)} bucket(s), bn={args.bn_mode}) in {dt:.2f}s → "
+        f"{imgs / dt:.1f} img/s  (checksum {checksum:.3e}, "
+        f"{eng.stats['compiles']} compiles)"
+    )
+
+
+if __name__ == "__main__":
+    main()
