@@ -62,6 +62,18 @@ def build_parser() -> argparse.ArgumentParser:
                    help="generator forward implementation (pallas = fused dense-layer kernels)")
     p.add_argument("--clipGrad", type=float, default=0.0,
                    help="global-norm gradient clip (0 = off); stabilises bf16 GAN training")
+    p.add_argument("--dcganInit", action="store_true",
+                   help="re-draw conv/BN weights with the reference's DCGAN "
+                        "init (misc.py:16-22: conv~N(0,.02), BN scale~N(1,.02), "
+                        "bias 0) before training; deterministic per --seed")
+    p.add_argument("--labelSmooth", type=float, default=1.0,
+                   help="real label for the D loss (< 1 = one-sided label "
+                        "smoothing; prevents D saturating on real samples)")
+    p.add_argument("--spatialShards", type=int, default=1,
+                   help="shard the image H axis across this many devices "
+                        "(mesh 'spatial' axis; GSPMD inserts the conv halo "
+                        "exchanges) — the memory lever for >1536² training; "
+                        "composes with --rematStages/--accumSteps")
     return p
 
 
@@ -114,6 +126,15 @@ def main(argv=None):
         decay_every=opt.annealEvery if opt.annealStart else 0,
         clip_grad=opt.clipGrad,
     )
+    if opt.dcganInit:
+        # the reference applies weights_init to netG and netD right after
+        # construction (SURVEY §3.4; misc.py:16-22) — before any resume, so
+        # a loaded checkpoint below still wins
+        from fdgan_tpu.nn.init import dcgan_init
+
+        init_rng = jax.random.fold_in(rng, 0x0DC6A)
+        state.g_params = dcgan_init(init_rng, state.g_params)
+        state.d_params = dcgan_init(jax.random.fold_in(init_rng, 1), state.d_params)
 
     # resume: native checkpoint dir or reference .pth
     if opt.netG:
@@ -155,23 +176,37 @@ def main(argv=None):
 
         g_step, d_step = make_gd_steps(
             tx_g, tx_d, weights, vgg_params, compute_dtype,
-            impl=opt.impl, remat=remat,
+            impl=opt.impl, remat=remat, real_label=opt.labelSmooth,
         )
         pool = ImagePool(opt.poolSize, seed=opt.seed)
     else:
         train_step = make_train_step(
             tx_g, tx_d, weights, vgg_params, compute_dtype,
             impl=opt.impl, remat=remat, accum_steps=opt.accumSteps,
+            real_label=opt.labelSmooth,
         )
 
-    # data-parallel mesh over the largest device count that divides the batch
+    # data × spatial mesh: DP over the largest device count that divides the
+    # batch, optional SP sharding of the image H axis (--spatialShards) —
+    # GSPMD inserts the conv halo exchanges (parity: tests/test_dist.py)
     n_dev = len(jax.devices())
-    n_data = n_dev
+    n_sp = opt.spatialShards
+    if n_sp < 1 or n_dev % n_sp:
+        raise SystemExit(
+            f"--spatialShards {n_sp} must divide the device count {n_dev}"
+        )
+    n_data = n_dev // n_sp
     while opt.batchSize % n_data:
         n_data -= 1
-    mesh = make_mesh(n_data=n_data, devices=jax.devices()[:n_data])
-    if n_data < n_dev:
-        print(f"note: batchSize {opt.batchSize} not divisible by {n_dev} devices; using {n_data}")
+    mesh = make_mesh(n_data=n_data, n_spatial=n_sp, devices=jax.devices()[: n_data * n_sp])
+    if n_data * n_sp < n_dev:
+        print(f"note: batchSize {opt.batchSize} not divisible by {n_dev // n_sp} "
+              f"data shards; using mesh {n_data}x{n_sp}")
+    if n_sp > 1:
+        if (opt.imageSize // 8) % n_sp:
+            print(f"note: imageSize/8 = {opt.imageSize // 8} not divisible by "
+                  f"{n_sp} spatial shards — GSPMD pads the deepest stage")
+        print(f"spatial sharding: H axis over {n_sp} devices (mesh {n_data}x{n_sp})")
     state.g_params = shard_params(state.g_params, mesh)
     state.d_params = shard_params(state.d_params, mesh)
 
@@ -213,7 +248,7 @@ def main(argv=None):
         for haze, gt in loader:
             if haze.shape[0] % n_data or haze.shape[0] % opt.accumSteps:
                 continue  # ragged final batch (DP shards / accum microbatches)
-            batch = shard_batch((haze, gt), mesh)
+            batch = shard_batch((haze, gt), mesh, spatial=n_sp > 1)
             step_rng, sub = jax.random.split(step_rng)
             if use_pool:
                 state, metrics, x_hat = g_step(state, batch[0], batch[1])

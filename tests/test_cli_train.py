@@ -48,3 +48,37 @@ def test_train_cli_one_epoch(tiny_ds, tmp_path):
     ckpts2 = sorted(os.listdir(exp))
     steps = [int(f.split("_")[1].split(".")[0]) for f in ckpts2 if f.startswith("ckpt_")]
     assert max(steps) > min(steps) or len(steps) >= 1
+
+
+def test_train_cli_r3_flags(tiny_ds, tmp_path):
+    """--dcganInit + --labelSmooth + --spatialShards run end-to-end on the
+    simulated mesh (H sharded over 2 devices; GSPMD halo exchanges)."""
+    from fdgan_tpu.cli.train import main
+
+    exp = str(tmp_path / "exp_sp")
+    main([
+        "--dataroot", tiny_ds,
+        "--batchSize", "1",
+        "--imageSize", "32",
+        "--epochs", "1",
+        "--exp", exp,
+        "--poolSize", "0",
+        "--logEvery", "1",
+        "--dcganInit",
+        "--labelSmooth", "0.9",
+        "--spatialShards", "2",
+    ])
+    log = [json.loads(l) for l in open(os.path.join(exp, "train_log.jsonl"))]
+    g = [rec for rec in log if "g_total" in rec]
+    assert g and all(np.isfinite(rec["g_total"]) for rec in g)
+
+
+def test_train_cli_rejects_bad_spatial(tiny_ds, tmp_path):
+    from fdgan_tpu.cli.train import main
+
+    with pytest.raises(SystemExit):
+        main([
+            "--dataroot", tiny_ds, "--batchSize", "1", "--imageSize", "32",
+            "--epochs", "1", "--exp", str(tmp_path / "x"),
+            "--spatialShards", "3",  # does not divide the 8-device count
+        ])

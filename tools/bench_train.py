@@ -22,6 +22,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--size", type=int, default=256)
+    ap.add_argument("--height", type=int, default=0,
+                    help="override H (e.g. an H-slab standing in for one "
+                         "shard of a spatially-sharded step: 2048² 2-way "
+                         "≈ 1024x2048 per shard)")
+    ap.add_argument("--width", type=int, default=0, help="override W")
     ap.add_argument("--accum", type=int, default=1)
     ap.add_argument("--remat", action="store_true")
     ap.add_argument("--stages", action="store_true",
@@ -36,8 +41,10 @@ def main():
         accum_steps=args.accum, remat=remat,
     )
 
-    haze = jax.random.uniform(jax.random.PRNGKey(1), (args.batch, args.size, args.size, 3))
-    gt = jax.random.uniform(jax.random.PRNGKey(2), (args.batch, args.size, args.size, 3))
+    H = args.height or args.size
+    W = args.width or args.size
+    haze = jax.random.uniform(jax.random.PRNGKey(1), (args.batch, H, W, 3))
+    gt = jax.random.uniform(jax.random.PRNGKey(2), (args.batch, H, W, 3))
     rng = jax.random.PRNGKey(3)
 
     # warm/compile
@@ -52,7 +59,7 @@ def main():
     g = float(metrics["g_total"])
     dt = time.perf_counter() - t0
     print(
-        f"train step {args.batch}@{args.size}² bf16 accum={args.accum} "
+        f"train step {args.batch}@{H}x{W} bf16 accum={args.accum} "
         f"remat={remat}: {dt / args.iters * 1000:.1f} ms/step → "
         f"{args.batch * args.iters / dt:.2f} img/s (g_loss {g:.3f})"
     )
