@@ -40,6 +40,21 @@ def load_generator_params(path: str, dtype=None):
     return load_checkpoint(path, template)
 
 
+def enable_compile_cache(path: str = "/tmp/jax_cache") -> None:
+    """Persistent XLA compile cache for the CLIs (bench/tools already do
+    this). First TPU compiles over the axon tunnel take minutes; the cache
+    makes every later CLI invocation start hot. Respects an explicit
+    JAX_COMPILATION_CACHE_DIR."""
+    import jax
+
+    target = os.environ.get("JAX_COMPILATION_CACHE_DIR", path)
+    try:
+        jax.config.update("jax_compilation_cache_dir", target)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # older jax without the knob — cache is an optimisation only
+
+
 @contextlib.contextmanager
 def maybe_profile(profile_dir: Optional[str]):
     """jax.profiler trace wrapper — the upgrade over the reference's bare

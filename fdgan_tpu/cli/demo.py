@@ -61,9 +61,16 @@ def main(argv=None):
         # inference needs true fp32 accumulation
         jax.config.update("jax_default_matmul_precision", "highest")
 
-    from fdgan_tpu.cli._common import load_generator_params, maybe_profile, save_image_normalized
+    from fdgan_tpu.cli._common import (
+        enable_compile_cache,
+        load_generator_params,
+        maybe_profile,
+        save_image_normalized,
+    )
     from fdgan_tpu.data import get_loader
     from fdgan_tpu.models import fdgan, fdgan_fast
+
+    enable_compile_cache()
 
     loader = get_loader(
         opt.dataset,

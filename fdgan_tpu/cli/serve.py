@@ -52,9 +52,15 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None):
     opt = build_parser().parse_args(argv)
 
-    from fdgan_tpu.cli._common import load_generator_params, save_image_normalized
+    from fdgan_tpu.cli._common import (
+        enable_compile_cache,
+        load_generator_params,
+        save_image_normalized,
+    )
     from fdgan_tpu.serve import InferenceEngine
     from fdgan_tpu.utils.images import load_rgb_image
+
+    enable_compile_cache()
 
     names = sorted(
         f for f in os.listdir(opt.inDir) if f.lower().endswith(EXTS)

@@ -65,7 +65,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dcganInit", action="store_true",
                    help="re-draw conv/BN weights with the reference's DCGAN "
                         "init (misc.py:16-22: conv~N(0,.02), BN scale~N(1,.02), "
-                        "bias 0) before training; deterministic per --seed")
+                        "bias 0) before training — D fully, G except the "
+                        "pretrained densenet121 encoder; deterministic per "
+                        "--seed")
     p.add_argument("--labelSmooth", type=float, default=1.0,
                    help="real label for the D loss (< 1 = one-sided label "
                         "smoothing; prevents D saturating on real samples)")
@@ -90,6 +92,9 @@ def main(argv=None):
     import jax.numpy as jnp
     import numpy as np
 
+    from fdgan_tpu.cli._common import enable_compile_cache
+
+    enable_compile_cache()
     if opt.debugNans:
         jax.config.update("jax_debug_nans", True)
     if opt.precision == "fp32":
@@ -127,13 +132,17 @@ def main(argv=None):
         clip_grad=opt.clipGrad,
     )
     if opt.dcganInit:
-        # the reference applies weights_init to netG and netD right after
-        # construction (SURVEY §3.4; misc.py:16-22) — before any resume, so
-        # a loaded checkpoint below still wins
-        from fdgan_tpu.nn.init import dcgan_init
+        # the reference applies weights_init right after construction
+        # (SURVEY §3.4; misc.py:16-22) — D fully, G only on the fresh
+        # decoder/refinement layers (the densenet121 encoder is pretrained,
+        # dehaze1113.py:707-728). Runs before any resume, so a loaded
+        # checkpoint below still wins.
+        from fdgan_tpu.nn.init import DENSENET_PRETRAINED_KEYS, dcgan_init
 
         init_rng = jax.random.fold_in(rng, 0x0DC6A)
-        state.g_params = dcgan_init(init_rng, state.g_params)
+        state.g_params = dcgan_init(
+            init_rng, state.g_params, skip=DENSENET_PRETRAINED_KEYS
+        )
         state.d_params = dcgan_init(jax.random.fold_in(init_rng, 1), state.d_params)
 
     # resume: native checkpoint dir or reference .pth

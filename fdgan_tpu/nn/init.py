@@ -36,13 +36,29 @@ def _path_key(rng: jax.Array, path: tuple) -> jax.Array:
     return jax.random.fold_in(rng, zlib.crc32("/".join(path).encode()) & 0x7FFFFFFF)
 
 
-def dcgan_init(rng: jax.Array, params: dict) -> dict:
+# FDGAN generator subtrees copied from pretrained torchvision densenet121
+# (dehaze1113.py:707-728) — the DCGAN init must NOT clobber these; the
+# reference's weights_init targets the fresh decoder/refinement layers and
+# the discriminators only.
+DENSENET_PRETRAINED_KEYS = (
+    "conv0",
+    "dense_block1", "trans_block1",
+    "dense_block2", "trans_block2",
+    "dense_block3", "trans_block3",
+    "dense_block31", "dense_norm31",
+)
+
+
+def dcgan_init(rng: jax.Array, params: dict, skip: tuple = ()) -> dict:
     """Re-draw every conv kernel from N(0, 0.02) and every BN scale from
     N(1, 0.02) with zero bias, preserving running stats — the DCGAN init the
     reference applies before training (misc.py:16-22). Deterministic for a
-    given seed (path-keyed via crc32)."""
+    given seed (path-keyed via crc32). Top-level keys in ``skip`` are left
+    untouched (pass ``DENSENET_PRETRAINED_KEYS`` for the FDGAN generator)."""
 
     def rebuild(tree, path):
+        if len(path) == 1 and path[0] in skip:
+            return tree
         if isinstance(tree, dict):
             if _is_conv(tree):
                 k = _path_key(rng, path)

@@ -8,7 +8,7 @@ import jax.numpy as jnp
 
 from fdgan_tpu.models import fdgan
 from fdgan_tpu.models.discriminators import nlayer_init
-from fdgan_tpu.nn.init import dcgan_init
+from fdgan_tpu.nn.init import DENSENET_PRETRAINED_KEYS, dcgan_init
 
 
 def _leaves_with_paths(tree, path=()):
@@ -78,3 +78,23 @@ def test_dcgan_init_paths_decorrelated(rng):
         same_shape[key] = k
     # the dense blocks have many repeated-shape convs, so the check must fire
     assert found_pair
+
+
+def test_dcgan_init_skips_pretrained_backbone(rng):
+    """With skip=DENSENET_PRETRAINED_KEYS the pretrained encoder subtrees
+    are bit-identical while the fresh decoder/refinement layers are
+    re-drawn (the reference's weights_init never touches the pretrained
+    densenet121 weights, dehaze1113.py:707-728)."""
+    params = fdgan.init(rng)
+    out = dcgan_init(jax.random.fold_in(rng, 3), params, skip=DENSENET_PRETRAINED_KEYS)
+    for key in DENSENET_PRETRAINED_KEYS:
+        for (pa, la), (pb, lb) in zip(
+            _leaves_with_paths(params[key]), _leaves_with_paths(out[key])
+        ):
+            assert pa == pb
+            np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+    # a fresh layer did get re-drawn
+    assert not np.array_equal(
+        np.asarray(params["conv_refin3"]["kernel"]),
+        np.asarray(out["conv_refin3"]["kernel"]),
+    )
