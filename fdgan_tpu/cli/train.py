@@ -262,6 +262,9 @@ def main(argv=None):
             if use_pool:
                 state, metrics, x_hat = g_step(state, batch[0], batch[1])
                 fake = pool.query(jax.lax.stop_gradient(x_hat))  # tanh range, remapped inside d loss
+                # the pool round-trips through the host — re-shard the fake
+                # batch so the D step keeps the mesh layout (matters for SP)
+                fake = shard_batch(fake, mesh, spatial=n_sp > 1)
                 state, d_metrics = d_step(state, fake, batch[1])
                 metrics = {**metrics, **d_metrics}
             else:

@@ -52,7 +52,9 @@ def test_train_cli_one_epoch(tiny_ds, tmp_path):
 
 def test_train_cli_r3_flags(tiny_ds, tmp_path):
     """--dcganInit + --labelSmooth + --spatialShards run end-to-end on the
-    simulated mesh (H sharded over 2 devices; GSPMD halo exchanges)."""
+    simulated mesh (H sharded over 2 devices; GSPMD halo exchanges) —
+    through the ImagePool G/D split path, whose pool-recycled fakes are
+    re-sharded onto the mesh."""
     from fdgan_tpu.cli.train import main
 
     exp = str(tmp_path / "exp_sp")
@@ -62,7 +64,6 @@ def test_train_cli_r3_flags(tiny_ds, tmp_path):
         "--imageSize", "32",
         "--epochs", "1",
         "--exp", exp,
-        "--poolSize", "0",
         "--logEvery", "1",
         "--dcganInit",
         "--labelSmooth", "0.9",
