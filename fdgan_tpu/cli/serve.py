@@ -80,7 +80,13 @@ def main(argv=None):
         params = fdgan.init(jax.random.PRNGKey(0))
 
     if opt.batchSizes:
-        ladder = tuple(sorted({int(b) for b in opt.batchSizes.split(",")}))
+        try:
+            rungs = [int(b) for b in opt.batchSizes.split(",") if b.strip()]
+        except ValueError:
+            raise SystemExit(f"--batchSizes must be comma-separated ints, got {opt.batchSizes!r}")
+        if not rungs or any(b < 1 for b in rungs):
+            raise SystemExit(f"--batchSizes rungs must be >= 1, got {opt.batchSizes!r}")
+        ladder = tuple(sorted(set(rungs)))
     else:
         ladder = tuple(sorted({b for b in (1, 2, 4, 8, 16) if b < opt.maxBatch}
                               | {max(1, opt.maxBatch)}))

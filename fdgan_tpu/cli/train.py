@@ -212,9 +212,15 @@ def main(argv=None):
         print(f"note: batchSize {opt.batchSize} not divisible by {n_dev // n_sp} "
               f"data shards; using mesh {n_data}x{n_sp}")
     if n_sp > 1:
+        if opt.imageSize % n_sp:
+            raise SystemExit(
+                f"--spatialShards {n_sp} must divide --imageSize "
+                f"{opt.imageSize} (H-sharded device_put rejects uneven "
+                f"shardings)"
+            )
         if (opt.imageSize // 8) % n_sp:
             print(f"note: imageSize/8 = {opt.imageSize // 8} not divisible by "
-                  f"{n_sp} spatial shards — GSPMD pads the deepest stage")
+                  f"{n_sp} spatial shards — the deepest stage pads/reshards")
         print(f"spatial sharding: H axis over {n_sp} devices (mesh {n_data}x{n_sp})")
     state.g_params = shard_params(state.g_params, mesh)
     state.d_params = shard_params(state.d_params, mesh)

@@ -99,6 +99,8 @@ class InferenceEngine:
             batch_sizes = tuple(b * n_data for b in (1, 2, 4, 8))
         if list(batch_sizes) != sorted(set(batch_sizes)) or not batch_sizes:
             raise ValueError("batch_sizes must be ascending and non-empty")
+        if any(b < 1 for b in batch_sizes):
+            raise ValueError(f"batch_sizes must be positive, got {tuple(batch_sizes)}")
         if any(b % n_data for b in batch_sizes):
             raise ValueError(
                 f"batch_sizes {tuple(batch_sizes)} must be divisible by the "
@@ -115,6 +117,14 @@ class InferenceEngine:
         if mesh is not None:
             from fdgan_tpu.dist.mesh import batch_sharding, shard_params
 
+            n_spatial = int(mesh.shape.get("spatial", 1))
+            if spatial and self.bucket % n_spatial:
+                # device_put rejects uneven shardings, so every bucketed H
+                # (a multiple of bucket) must divide by the spatial axis
+                raise ValueError(
+                    f"bucket {self.bucket} must be divisible by the mesh "
+                    f"'spatial' axis size {n_spatial} for H sharding"
+                )
             self._params = shard_params(cast, mesh)
             self._batch_sharding = batch_sharding(mesh, 1 if spatial else None)
         else:
@@ -269,36 +279,56 @@ class InferenceEngine:
     def _timed_events(self, indexed_images, max_wait: float):
         """Wrap an (idx, img) iterator so ``None`` ticks are emitted while
         the producer is idle or blocking: a daemon thread pulls items into a
-        bounded queue; the consumer polls with a sub-``max_wait`` timeout.
-        This is what lets staging deadlines fire without new arrivals."""
+        small bounded queue; the consumer polls with a sub-``max_wait``
+        timeout. This is what lets staging deadlines fire without new
+        arrivals. The queue is deliberately shallow (backpressure: the
+        producer must not race ahead of the depth-bounded consumer and
+        buffer unbounded image memory), and the producer exits promptly if
+        the consumer abandons the generator (timeout-put + stop flag)."""
         import queue as _queue
 
-        q: _queue.Queue = _queue.Queue(maxsize=64)
+        q: _queue.Queue = _queue.Queue(maxsize=4)
         sentinel = object()
         err: list = []
+        stop = threading.Event()
 
         def produce():
             try:
                 for item in indexed_images:
-                    q.put(item)
+                    while not stop.is_set():
+                        try:
+                            q.put(item, timeout=0.2)
+                            break
+                        except _queue.Full:
+                            continue
+                    if stop.is_set():
+                        return
             except BaseException as e:  # re-raised on the consumer side
                 err.append(e)
             finally:
-                q.put(sentinel)
+                while not stop.is_set():
+                    try:
+                        q.put(sentinel, timeout=0.2)
+                        break
+                    except _queue.Full:
+                        continue
 
         threading.Thread(target=produce, daemon=True).start()
         tick = max(max_wait / 4.0, 0.005)
-        while True:
-            try:
-                item = q.get(timeout=tick)
-            except _queue.Empty:
-                yield None
-                continue
-            if item is sentinel:
-                if err:
-                    raise err[0]
-                return
-            yield item
+        try:
+            while True:
+                try:
+                    item = q.get(timeout=tick)
+                except _queue.Empty:
+                    yield None
+                    continue
+                if item is sentinel:
+                    if err:
+                        raise err[0]
+                    return
+                yield item
+        finally:
+            stop.set()  # unblock the producer if we exit early
 
     def _stage(self, indexed_images, max_wait: float = 0.0):
         """Group (index, image) pairs into dispatched device batches.
@@ -354,11 +384,20 @@ class InferenceEngine:
 
         if max_wait > 0:
             indexed_images = self._timed_events(indexed_images, max_wait)
+        idle_ticks = 0
         for item in indexed_images:
-            if item is None:  # idle tick — deadline check, then signal idle
+            if item is None:  # idle tick — deadline check first
+                idle_ticks += 1
                 yield from flush_aged()
-                yield None  # lets stream() drain in-flight work while quiet
+                # Signal stream() to drain in-flight work only once the
+                # producer has been quiet for ~max_wait (4 sub-ticks): a
+                # drain blocks this generator on a result fetch, so doing
+                # it on every short burst gap would collapse the pipeline
+                # window while images queue unstaged.
+                if idle_ticks >= 4:
+                    yield None
                 continue
+            idle_ticks = 0
             idx, img = item
             img = np.asarray(img, np.float32)
             if img.ndim != 3 or img.shape[-1] != 3:

@@ -273,3 +273,12 @@ def test_input_validation(engine):
         InferenceEngine(
             {}, mesh=make_mesh(n_data=4, devices=jax.devices()[:4]), batch_sizes=(2,)
         )
+    with pytest.raises(ValueError):
+        InferenceEngine({}, batch_sizes=(0, 2))  # non-positive rung
+    with pytest.raises(ValueError):
+        # H sharding needs bucket % n_spatial == 0 (device_put rejects
+        # uneven shardings mid-stream otherwise)
+        InferenceEngine(
+            {}, bucket=64, batch_sizes=(2,), spatial=True,
+            mesh=make_mesh(n_data=2, n_spatial=3, devices=jax.devices()[:6]),
+        )

@@ -23,8 +23,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from fdgan_tpu.cli._common import enable_compile_cache
+
+enable_compile_cache()
 
 from fdgan_tpu.models import fdgan
 from fdgan_tpu.serve import InferenceEngine
@@ -63,21 +64,24 @@ def main():
                                (args.batch, h, w, 3), jnp.float32)
         staged.append(jax.device_put(x).block_until_ready())
 
-    # checksum consumer: result stays on device, one scalar survives
+    # fused forward+checksum: ONE dispatch per batch (a separate consume
+    # program would double the per-dispatch tunnel latency, ~100-140 ms
+    # each here — see CLAUDE.md), result stays on device, one scalar
+    # survives at the end
     @jax.jit
-    def consume(acc, y):
-        return acc + jnp.sum(y, dtype=jnp.float32)
+    def fwd_sum(p, x, acc):
+        return acc + jnp.sum(eng._forward(p, x), dtype=jnp.float32)
 
-    # untimed pass to compile consume for each shape
+    # untimed pass to compile per shape
     acc = jnp.zeros((), jnp.float32)
     for x in staged[: len(shapes)]:
-        acc = consume(acc, eng._dispatch(x))
+        acc = fwd_sum(eng._params, x, acc)
     float(acc)
 
     t0 = time.perf_counter()
     acc = jnp.zeros((), jnp.float32)
     for x in staged:
-        acc = consume(acc, eng._dispatch(x))
+        acc = fwd_sum(eng._params, x, acc)
     checksum = float(acc)  # the single sync point
     dt = time.perf_counter() - t0
 
@@ -85,8 +89,13 @@ def main():
     print(
         f"engine device-resident: {imgs} imgs @{args.size}² "
         f"({len(shapes)} bucket(s), bn={args.bn_mode}) in {dt:.2f}s → "
-        f"{imgs / dt:.1f} img/s  (checksum {checksum:.3e}, "
-        f"{eng.stats['compiles']} compiles)"
+        f"{imgs / dt:.1f} img/s  (checksum {checksum:.3e})"
+    )
+    print(
+        "note: over the axon tunnel this is a LOWER bound — each dispatch "
+        "still pays ~100-140 ms of host→device latency; on a co-located "
+        "host the async queue hides it. Compare bench.py's on-device "
+        "fori_loop number for the pure-compute ceiling."
     )
 
 
