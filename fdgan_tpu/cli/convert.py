@@ -2,10 +2,15 @@
 
     python -m fdgan_tpu.cli.convert --src netG_epoch_real.pth --dst netG.msgpack
     python -m fdgan_tpu.cli.convert --src netG.msgpack --dst netG.pth [--prefix module.]
+    python -m fdgan_tpu.cli.convert --src netG.msgpack --dst netG_512.shlo \
+        --imageSize 512 --batch 8 [--platforms tpu,cpu]
 
 Import preserves the reference's dead parameters (SURVEY.md §2.2); export
 writes OIHW conv layouts with optional DataParallel `module.` prefixes so the
-original PyTorch tooling can consume checkpoints trained here.
+original PyTorch tooling can consume checkpoints trained here. A `.shlo`
+destination AOT-exports the forward as a self-contained StableHLO artifact
+(weights baked in; see io/export.py) for PJRT serving without Python model
+code.
 """
 
 from __future__ import annotations
@@ -19,6 +24,20 @@ def main(argv=None):
     p.add_argument("--dst", required=True)
     p.add_argument("--model", default="fdgan", choices=["fdgan", "vgg16"])
     p.add_argument("--prefix", default="module.", help="key prefix for .pth export")
+    p.add_argument("--imageSize", type=int, default=512, help=".shlo export shape")
+    p.add_argument(
+        "--batch",
+        default="1",
+        help=".shlo export batch: an int, or 'poly' for a batch-polymorphic artifact",
+    )
+    p.add_argument("--precision", default="bf16", choices=["bf16", "fp32"])
+    p.add_argument("--bnMode", default="batch", choices=["batch", "running"])
+    p.add_argument(
+        "--platforms",
+        default="tpu,cpu",
+        help="comma list of target platforms baked into the .shlo (export "
+        "lowers without needing the devices; default tpu,cpu runs anywhere)",
+    )
     opt = p.parse_args(argv)
 
     import jax
@@ -49,6 +68,33 @@ def main(argv=None):
 
     src_is_torch = opt.src.endswith((".pth", ".pt"))
     dst_is_torch = opt.dst.endswith((".pth", ".pt"))
+
+    if opt.dst.endswith((".shlo", ".stablehlo")):
+        if opt.model != "fdgan":
+            raise SystemExit("StableHLO export supports --model fdgan only")
+        from fdgan_tpu.io.export import export_forward, save_exported
+
+        params = (
+            convert_fdgan_checkpoint(opt.src)
+            if src_is_torch
+            else load_checkpoint(opt.src, template())
+        )
+        exported = export_forward(
+            params,
+            image_size=opt.imageSize,
+            batch=opt.batch if opt.batch == "poly" else int(opt.batch),
+            precision=opt.precision,
+            bn_mode=opt.bnMode,
+            platforms=[s.strip() for s in opt.platforms.split(",") if s.strip()]
+            or None,
+        )
+        n = save_exported(opt.dst, exported)
+        print(
+            f"exported {opt.src} -> {opt.dst} ({n/1e6:.1f} MB StableHLO, "
+            f"{opt.batch}x{opt.imageSize}^2 {opt.precision} bn={opt.bnMode}, "
+            f"platforms={list(exported.platforms)})"
+        )
+        return
 
     if src_is_torch and not dst_is_torch:
         params = (

@@ -25,6 +25,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--inDir", required=True, help="directory of hazy images")
     p.add_argument("--outDir", default="./result_serve/")
     p.add_argument("--netG", default="", help="generator checkpoint (.pth or .msgpack)")
+    p.add_argument(
+        "--artifact",
+        default="",
+        help="serve from an AOT-exported .shlo artifact (weights baked in; "
+        "no model code or --netG needed; engine flags are ignored)",
+    )
     p.add_argument("--precision", choices=["fp32", "bf16"], default="bf16")
     p.add_argument("--bn_mode", choices=["batch", "running"], default="running")
     p.add_argument("--bucket", type=int, default=64)
@@ -68,6 +74,34 @@ def main(argv=None):
     if not names:
         raise SystemExit(f"no images ({'/'.join(EXTS)}) in {opt.inDir}")
     os.makedirs(opt.outDir, exist_ok=True)
+
+    # stem.png unless two inputs share a stem (a.jpg + a.png) — then keep
+    # the full name so nothing is silently overwritten
+    stems = [os.path.splitext(n)[0] for n in names]
+    out_names = [
+        (s if stems.count(s) == 1 else n) + ".png" for s, n in zip(stems, names)
+    ]
+
+    if opt.artifact:
+        from fdgan_tpu.io.export import ArtifactRunner
+
+        runner = ArtifactRunner(opt.artifact)
+        bdesc = runner.batch if runner.batch is not None else "poly"
+        print(
+            f"serving from artifact {opt.artifact} "
+            f"({bdesc}x{runner.height}x{runner.width})"
+        )
+        imgs = [
+            load_rgb_image(os.path.join(opt.inDir, n)) / 255.0 for n in names
+        ]
+        t0 = time.time()
+        results = runner(imgs, group=opt.maxBatch)
+        for name, out_name, out in zip(names, out_names, results):
+            save_image_normalized(out, os.path.join(opt.outDir, out_name))
+            print(name)
+        dt = time.time() - t0
+        print(f"{len(names)} images in {dt:.2f}s ({len(names)/dt:.2f} img/s)")
+        return
 
     if opt.netG:
         params = load_generator_params(opt.netG)
@@ -123,13 +157,6 @@ def main(argv=None):
     def load_all():
         for name in names:
             yield load_rgb_image(os.path.join(opt.inDir, name)) / 255.0
-
-    # stem.png unless two inputs share a stem (a.jpg + a.png) — then keep
-    # the full name so nothing is silently overwritten
-    stems = [os.path.splitext(n)[0] for n in names]
-    out_names = [
-        (s if stems.count(s) == 1 else n) + ".png" for s, n in zip(stems, names)
-    ]
 
     t0 = time.time()
     results = engine.stream(load_all(), depth=opt.depth, max_wait=opt.maxWait)

@@ -1,0 +1,178 @@
+"""AOT export: the FDGAN forward as a serialized StableHLO artifact.
+
+The reference deploys by rebuilding the nn.Module graph in Python and
+loading a ``.pth`` into it (``/root/reference/demo.py:83-107``) — serving
+always drags the full model-building code along. The TPU-native analog is
+ahead-of-time export: ``jax.export`` lowers the jitted forward ONCE into a
+version-stamped, self-contained StableHLO payload (weights baked in as
+constants by default). The resulting bytes need no fdgan_tpu / model code
+to run — any PJRT runtime for the target platform (including a C++ serving
+binary, or a newer JAX via ``jax.export.deserialize``) can compile and call
+them. This is the deployment companion to ``fdgan_tpu.serve``: buckets pick
+shapes at runtime; export freezes one (shape, precision, BN-mode) program
+into an artifact.
+
+Determinism note: the artifact pins the exact op sequence, so fp32 parity
+exports embed HIGHEST matmul precision (the same TPU bf16-conv-pass fix as
+cli/demo — see PERFORMANCE.md).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Union
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import export as jexport
+
+from fdgan_tpu.models import fdgan_fast
+from fdgan_tpu.nn.tree import cast_tree
+
+
+def export_forward(
+    params: dict,
+    *,
+    image_size: int,
+    batch: Union[int, str] = 1,
+    precision: str = "bf16",
+    bn_mode: str = "batch",
+    bake_params: bool = True,
+    platforms: Optional[Sequence[str]] = None,
+) -> jexport.Exported:
+    """Lower the FDGAN forward to a (serializable) ``jax.export.Exported``.
+
+    The exported callable takes an fp32 NHWC batch ``(batch, image_size,
+    image_size, 3)`` and returns the fp32 dehazed batch — the same contract
+    as ``serve.InferenceEngine``. With ``bake_params=True`` (default) the
+    weights are folded into the artifact as constants and the signature is
+    ``f(x)``; with ``False`` the signature is ``f(params, x)`` so one
+    artifact serves many checkpoints.
+
+    ``platforms`` lowers for specific backends (e.g. ``("tpu", "cpu")``)
+    regardless of the local default — export only lowers, it never needs
+    the target device.
+
+    ``batch="poly"`` exports a batch-polymorphic artifact (symbolic leading
+    dim): one payload serves every batch size, replacing the runtime batch
+    ladder of ``serve.InferenceEngine`` for fixed-resolution deployments.
+    Spatial dims stay static — convs/upsamples tile best under XLA with
+    known H and W, and the engine's shape buckets own that axis.
+    """
+    if precision not in ("bf16", "fp32"):
+        raise ValueError(f"precision must be bf16|fp32, got {precision!r}")
+    if bn_mode not in ("batch", "running"):
+        raise ValueError(f"bn_mode must be batch|running, got {bn_mode!r}")
+
+    dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
+    use_params = cast_tree(params, dtype) if precision == "bf16" else params
+
+    def forward(p, x):
+        if precision == "fp32":
+            with jax.default_matmul_precision("highest"):
+                y = fdgan_fast.apply(p, x.astype(dtype), bn_mode=bn_mode)
+        else:
+            y = fdgan_fast.apply(p, x.astype(dtype), bn_mode=bn_mode)
+        return y.astype(jnp.float32)
+
+    if isinstance(batch, str):
+        if batch != "poly":
+            raise ValueError(f"batch must be an int or 'poly', got {batch!r}")
+        (bdim,) = jexport.symbolic_shape("b")
+    else:
+        bdim = int(batch)
+    x_spec = jax.ShapeDtypeStruct((bdim, image_size, image_size, 3), jnp.float32)
+    kwargs = {"platforms": tuple(platforms)} if platforms else {}
+
+    if bake_params:
+        fn = jax.jit(lambda x: forward(use_params, x))
+        return jexport.export(fn, **kwargs)(x_spec)
+
+    p_spec = jax.tree.map(
+        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), use_params
+    )
+    return jexport.export(jax.jit(forward), **kwargs)(p_spec, x_spec)
+
+
+def save_exported(path: str, exported: jexport.Exported) -> int:
+    """Serialize to ``path``; returns the byte size."""
+    data = exported.serialize()
+    with open(path, "wb") as f:
+        f.write(data)
+    return len(data)
+
+
+def load_exported(path: str) -> jexport.Exported:
+    """Deserialize an artifact; run it with ``loaded.call(x)`` (or
+    ``loaded.call(params, x)`` for ``bake_params=False`` exports)."""
+    with open(path, "rb") as f:
+        return jexport.deserialize(bytearray(f.read()))
+
+
+class ArtifactRunner:
+    """Serve images through a deserialized artifact — no model code needed.
+
+    This is the consumer side of the deployment contract: everything
+    required for inference is the ``.shlo`` payload (weights baked in).
+    Mirrors ``serve.InferenceEngine``'s input handling on a single fixed
+    program: arbitrary ``h ≤ H, w ≤ W`` inputs are reflect-padded
+    bottom/right up to the artifact's static spatial shape and the outputs
+    cropped back; groups are padded up to a fixed export batch by cycling
+    real images (the same batch-BN-safe slot filling as the engine), while
+    batch-polymorphic artifacts (``batch='poly'``) run each group exactly.
+    """
+
+    def __init__(self, artifact: Union[str, jexport.Exported]):
+        self.exported = (
+            load_exported(artifact) if isinstance(artifact, str) else artifact
+        )
+        if len(self.exported.in_avals) != 1:
+            raise ValueError(
+                "ArtifactRunner serves baked artifacts (signature f(x)); this "
+                f"one takes {len(self.exported.in_avals)} inputs — re-export "
+                "with bake_params=True"
+            )
+        b, H, W, _ = self.exported.in_avals[0].shape
+        self.batch: Optional[int] = b if isinstance(b, int) else None
+        self.height, self.width = int(H), int(W)
+
+    @staticmethod
+    def _pad_hw(img: np.ndarray, H: int, W: int) -> np.ndarray:
+        ph, pw = H - img.shape[0], W - img.shape[1]
+        if ph or pw:
+            mode = "reflect" if ph < img.shape[0] and pw < img.shape[1] else "edge"
+            img = np.pad(img, ((0, ph), (0, pw), (0, 0)), mode=mode)
+        return img
+
+    def __call__(
+        self, images: Sequence[np.ndarray], group: int = 8
+    ) -> List[np.ndarray]:
+        """Run fp32 HWC images (values in the network's input range) and
+        return dehazed fp32 HWC arrays at each input's original size.
+        ``group`` caps the batch per dispatch for polymorphic artifacts
+        (fixed-batch artifacts always dispatch their export batch)."""
+        H, W = self.height, self.width
+        for im in images:
+            if im.ndim != 3 or im.shape[2] != 3:
+                raise ValueError(f"expected HWC RGB image, got shape {im.shape}")
+            if im.shape[0] > H or im.shape[1] > W:
+                raise ValueError(
+                    f"image {im.shape[:2]} exceeds the artifact's static "
+                    f"{H}x{W} — re-export larger or tile upstream"
+                )
+        step = self.batch or max(1, group)
+        outs: List[np.ndarray] = []
+        for i in range(0, len(images), step):
+            chunk = list(images[i : i + step])
+            n = len(chunk)
+            padded = [self._pad_hw(np.asarray(im, np.float32), H, W) for im in chunk]
+            if self.batch is not None:
+                while len(padded) < self.batch:
+                    padded.append(padded[len(padded) % n])
+            y = np.asarray(self.exported.call(np.stack(padded)))
+            outs.extend(
+                y[j, : im.shape[0], : im.shape[1]].copy()
+                for j, im in enumerate(chunk)
+            )
+        return outs

@@ -129,3 +129,29 @@ def test_serve_cli_folder(image_dirs, tmp_path):
     assert outs == ["0.png", "1.png"]
     img = np.asarray(Image.open(os.path.join(out, "0.png")))
     assert img.shape == (32, 32, 3)
+
+
+def test_serve_cli_from_artifact(image_dirs, tmp_path):
+    """Deployment chain with zero model code at serving time:
+    convert → batch-polymorphic .shlo artifact → serve --artifact."""
+    from fdgan_tpu.cli.convert import main as convert_main
+    from fdgan_tpu.cli.serve import main as serve_main
+    from fdgan_tpu.io.checkpoint import save_checkpoint
+    from fdgan_tpu.models import fdgan
+
+    ckpt = str(tmp_path / "netG.msgpack")
+    save_checkpoint(ckpt, fdgan.init(jax.random.PRNGKey(0)))
+    art = str(tmp_path / "netG_32.shlo")
+    convert_main(
+        ["--src", ckpt, "--dst", art, "--imageSize", "32", "--batch", "poly",
+         "--platforms", "cpu,tpu"]
+    )
+    assert os.path.getsize(art) > 1_000_000
+
+    _, haze_dir = image_dirs
+    out = str(tmp_path / "served_art")
+    serve_main(["--inDir", haze_dir, "--outDir", out, "--artifact", art])
+    outs = sorted(os.listdir(out))
+    assert outs == ["0.png", "1.png"]
+    img = np.asarray(Image.open(os.path.join(out, "0.png")))
+    assert img.shape == (32, 32, 3)
