@@ -64,8 +64,10 @@ def bench(batch: int = 8, size: int = 512, iters: int = 20, bn_mode: str = "batc
 
 def bench_train(batch: int = 4, size: int = 256, iters: int = 10) -> float:
     """Full adversarial train-step throughput (G + fusion-D + SSIM, bf16).
-    Steps are dispatched asynchronously and pipelined on-device; the single
-    scalar fetch at the end is the only sync."""
+    All `iters` steps run on-device inside one lax.scan (state is the
+    carry) — one dispatch, one scalar fetch. Per-step host dispatches are
+    tunnel-rate-bound on this platform (~70 ms/dispatch floor) and
+    overstate step time; see tools/bench_train.py."""
     import jax
     import jax.numpy as jnp
 
@@ -74,17 +76,29 @@ def bench_train(batch: int = 4, size: int = 256, iters: int = 10) -> float:
 
     state, tx_g, tx_d = create_train_state(jax.random.PRNGKey(0))
     step = make_train_step(tx_g, tx_d, LossWeights(perceptual=0.0), compute_dtype=jnp.bfloat16)
+    step_body = getattr(step, "__wrapped__", step)
     haze = jax.random.uniform(jax.random.PRNGKey(1), (batch, size, size, 3))
     gt = jax.random.uniform(jax.random.PRNGKey(2), (batch, size, size, 3))
     rng = jax.random.PRNGKey(3)
 
-    state, metrics = step(state, haze, gt, rng)  # compile + warm
-    float(metrics["g_total"])
-    t0 = time.perf_counter()
-    for i in range(iters):
-        state, metrics = step(state, haze, gt, jax.random.fold_in(rng, i))
-    float(metrics["g_total"])
-    return batch * iters / (time.perf_counter() - t0)
+    @partial(jax.jit, donate_argnums=(0,), static_argnums=(1,))
+    def multi(st, n):
+        def body(carry, i):
+            carry, metrics = step_body(carry, haze, gt, jax.random.fold_in(rng, i))
+            return carry, metrics["g_total"]
+
+        st, outs = jax.lax.scan(body, st, jnp.arange(n))
+        return st, outs[-1]
+
+    state, out = multi(state, iters)  # compile + warm
+    float(out)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        state, out = multi(state, iters)
+        float(out)
+        best = min(best, time.perf_counter() - t0)
+    return batch * iters / best
 
 
 def main():

@@ -60,9 +60,13 @@ def generator_loss(
     terms = {}
     total = jnp.asarray(0.0, jnp.float32)
 
-    d_fake = fusion_apply(d_params, x01)
-    terms["adv"] = g_adv_loss(d_fake)
-    total += weights.adv * terms["adv"]
+    # zero-weight terms are gated out in Python (not just scaled by 0) so
+    # XLA never builds their graphs — an ablation/reconstruction-only run
+    # skips the fusion-D forward + backward entirely
+    if weights.adv > 0:
+        d_fake = fusion_apply(d_params, x01)
+        terms["adv"] = g_adv_loss(d_fake)
+        total += weights.adv * terms["adv"]
 
     terms["pixel"] = pixel_loss(x01, y01, weights.pixel_norm)
     total += weights.pixel * terms["pixel"]
@@ -71,8 +75,9 @@ def generator_loss(
         terms["perceptual"] = perceptual_loss(vgg_params, x01, y01)
         total += weights.perceptual * terms["perceptual"]
 
-    terms["ssim"] = ssim(x01, y01)
-    total += weights.ssim * (1.0 - terms["ssim"])
+    if weights.ssim > 0:
+        terms["ssim"] = ssim(x01, y01)
+        total += weights.ssim * (1.0 - terms["ssim"])
 
     if weights.contextual > 0 and vgg_params is not None:
         from fdgan_tpu.models import vgg16

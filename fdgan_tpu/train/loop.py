@@ -222,6 +222,41 @@ def make_train_step(
     return train_step
 
 
+def make_device_loop(step, chunk_steps: int):
+    """Wrap a ``make_train_step`` step into a device-resident multi-step.
+
+    TPU-native answer to this platform's host-loop tax: a per-step host
+    dispatch pays a ~70 ms tunnel floor and each batch upload moves MBs at
+    ~4 MB/s (CLAUDE.md), so small-dataset training runs ~50× slower than
+    the device can step.  Here the WHOLE dataset lives in HBM —
+    ``(n_batches, b, H, W, 3)`` stacks — and ``chunk_steps`` train steps
+    run inside one ``lax.scan`` dispatch; the host only supplies a
+    shuffled batch-index vector per chunk and fetches per-step scalar
+    metrics (KBs).
+
+    Returns ``run(state, haze_all, gt_all, idx, base_step, rng) ->
+    (state, metrics)`` where ``idx`` is int32 ``(chunk_steps,)`` batch
+    indices and ``metrics`` maps names to ``(chunk_steps,)`` arrays.
+    ``base_step`` keeps the per-step RNG folding globally unique across
+    chunks. The state is donated — rebind it every call.
+    """
+    body = getattr(step, "__wrapped__", step)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def run(state, haze_all, gt_all, idx, base_step, rng):
+        def scan_body(st, t_i):
+            t, i = t_i
+            h = jax.lax.dynamic_index_in_dim(haze_all, i, 0, keepdims=False)
+            g = jax.lax.dynamic_index_in_dim(gt_all, i, 0, keepdims=False)
+            st, m = body(st, h, g, jax.random.fold_in(rng, t))
+            return st, m
+
+        ts = base_step + jnp.arange(chunk_steps, dtype=jnp.int32)
+        return jax.lax.scan(scan_body, state, (ts, idx))
+
+    return run
+
+
 def make_gd_steps(
     tx_g: optax.GradientTransformation,
     tx_d: optax.GradientTransformation,

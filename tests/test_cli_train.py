@@ -74,6 +74,63 @@ def test_train_cli_r3_flags(tiny_ds, tmp_path):
     assert g and all(np.isfinite(rec["g_total"]) for rec in g)
 
 
+def test_train_cli_device_resident(tiny_ds, tmp_path):
+    """--deviceSteps: whole dataset staged in device memory, several steps
+    per lax.scan dispatch. Two epochs over 2 batches with K=3 → one padded
+    chunk + change; checkpoint and per-step logs must still appear."""
+    from fdgan_tpu.cli.train import main
+
+    exp = str(tmp_path / "exp_dev")
+    main([
+        "--dataroot", tiny_ds,
+        "--batchSize", "1",
+        "--imageSize", "32",
+        "--epochs", "2",
+        "--exp", exp,
+        "--poolSize", "0",
+        "--logEvery", "1",
+        "--deviceSteps", "3",
+    ])
+    ckpts = [f for f in os.listdir(exp) if f.startswith("ckpt_")]
+    assert ckpts, "device-resident path must write checkpoints"
+    log = [json.loads(l) for l in open(os.path.join(exp, "train_log.jsonl"))]
+    g = [rec for rec in log if "g_total" in rec]
+    # >= total steps (2 epochs x 2 batches; chunk padding may add extras)
+    assert len(g) >= 4
+    assert all(np.isfinite(rec["g_total"]) for rec in g)
+    assert all(np.isfinite(rec.get("d_total", 0.0)) for rec in g)
+
+    with pytest.raises(SystemExit):  # pool is host-side: incompatible
+        main([
+            "--dataroot", tiny_ds, "--batchSize", "1", "--imageSize", "32",
+            "--epochs", "1", "--exp", str(tmp_path / "y"),
+            "--deviceSteps", "2", "--poolSize", "50",
+        ])
+
+
+def test_train_cli_device_resident_spatial(tiny_ds, tmp_path):
+    """--deviceSteps composes with --spatialShards: the stacked HBM dataset
+    is sharded (None, data, spatial) and lax.dynamic_index_in_dim keeps the
+    per-batch (data, spatial) layout through the scanned train step."""
+    from fdgan_tpu.cli.train import main
+
+    exp = str(tmp_path / "exp_dev_sp")
+    main([
+        "--dataroot", tiny_ds,
+        "--batchSize", "1",
+        "--imageSize", "32",
+        "--epochs", "1",
+        "--exp", exp,
+        "--poolSize", "0",
+        "--logEvery", "1",
+        "--deviceSteps", "2",
+        "--spatialShards", "2",
+    ])
+    log = [json.loads(l) for l in open(os.path.join(exp, "train_log.jsonl"))]
+    g = [rec for rec in log if "g_total" in rec]
+    assert g and all(np.isfinite(rec["g_total"]) for rec in g)
+
+
 def test_train_cli_rejects_bad_spatial(tiny_ds, tmp_path):
     from fdgan_tpu.cli.train import main
 

@@ -51,6 +51,28 @@ def test_generator_loss_terms(rng, np_rng):
     assert float(loss2) < float(loss)
 
 
+def test_generator_loss_gates_zero_weight_terms(rng, np_rng):
+    """weight=0 terms are gated out of the graph (not scaled by 0): the
+    returned terms dict omits them, and the total equals the sum of the
+    remaining weighted terms."""
+    d_params = nlayer_init(rng, input_nc=9)
+    x_hat = jnp.asarray(np_rng.uniform(-1, 1, (1, 32, 32, 3)).astype(np.float32))
+    gt = jnp.asarray(np_rng.uniform(0, 1, (1, 32, 32, 3)).astype(np.float32))
+    loss, terms = generator_loss(
+        d_params, x_hat, gt, LossWeights(adv=0.0, ssim=0.0, pixel=100.0)
+    )
+    assert "adv" not in terms and "ssim" not in terms
+    assert float(loss) == pytest.approx(100.0 * float(terms["pixel"]), rel=1e-6)
+    # gating must not change the full objective
+    full, full_terms = generator_loss(d_params, x_hat, gt, LossWeights())
+    manual = (
+        float(full_terms["adv"])
+        + 100.0 * float(full_terms["pixel"])
+        + (1.0 - float(full_terms["ssim"]))
+    )
+    assert float(full) == pytest.approx(manual, rel=1e-5)
+
+
 def test_discriminator_loss_detaches(rng, np_rng):
     d_params = nlayer_init(rng, input_nc=9)
     x_hat = jnp.asarray(np_rng.uniform(-1, 1, (1, 32, 32, 3)).astype(np.float32))
