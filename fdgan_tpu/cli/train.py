@@ -82,8 +82,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "dispatch inside one lax.scan — removes the "
                         "per-step host dispatch floor (~70 ms) and the "
                         "per-batch upload (~4 MB/s) of this platform's "
-                        "tunnel; requires --poolSize 0 and a dataset that "
-                        "fits in HBM")
+                        "tunnel; needs a dataset that fits in HBM. With "
+                        "--poolSize > 0 the ImagePool rides along as a "
+                        "device-resident replay buffer in the scan carry")
     p.add_argument("--spatialShards", type=int, default=1,
                    help="shard the image H axis across this many devices "
                         "(mesh 'spatial' axis; GSPMD inserts the conv halo "
@@ -99,12 +100,6 @@ def main(argv=None):
         raise SystemExit(
             "--accumSteps > 1 requires --poolSize 0 (the ImagePool G/D split "
             "does not accumulate; it would silently ignore the flag)"
-        )
-    if opt.deviceSteps > 0 and opt.poolSize > 0:
-        raise SystemExit(
-            "--deviceSteps requires --poolSize 0 (the ImagePool is a "
-            "host-side replay buffer; the device-resident loop never "
-            "returns to the host between steps)"
         )
 
     import jax
@@ -283,11 +278,15 @@ def main(argv=None):
         # device-resident loop: dataset lives in HBM, deviceSteps train
         # steps per dispatch (train/loop.py::make_device_loop). The host
         # only ships a shuffled index vector out and per-step scalar
-        # metrics back.
+        # metrics back. With --poolSize > 0 the ImagePool is carried
+        # through the scan as a device-resident replay buffer
+        # (make_device_pool_loop) — the D-stabiliser the reference trains
+        # with, kept on device.
         from jax.sharding import NamedSharding
         from jax.sharding import PartitionSpec as P
 
-        from fdgan_tpu.train.loop import make_device_loop
+        from fdgan_tpu.train.loop import make_device_loop, make_device_pool_loop
+        from fdgan_tpu.train.pool import device_pool_init
 
         batches = [
             (np.asarray(h), np.asarray(g))
@@ -317,7 +316,15 @@ def main(argv=None):
 
         K = opt.deviceSteps
         nb = haze_all.shape[0]
-        run = make_device_loop(train_step, K)
+        if use_pool:
+            pool_buf, n_filled = device_pool_init(
+                opt.poolSize, haze_all.shape[1:], compute_dtype
+            )
+            # pool axis replicated, batches keep the mesh layout
+            pool_buf = jax.device_put(pool_buf, sharding)
+            run_pool = make_device_pool_loop(g_step, d_step, K)
+        else:
+            run = make_device_loop(train_step, K)
         total = opt.epochs * nb
         n_chunks = (total + K - 1) // K
         host_rng = np.random.default_rng(opt.seed + 2)
@@ -331,10 +338,16 @@ def main(argv=None):
             before = int(state.step)
             t_chunk = time.time()
             idx = jnp.asarray(seq[c * K : (c + 1) * K])
-            state, ms = run(
-                state, haze_all, gt_all, idx,
-                jnp.asarray(before, jnp.int32), data_rng,
-            )
+            if use_pool:
+                state, pool_buf, n_filled, ms = run_pool(
+                    state, pool_buf, n_filled, haze_all, gt_all, idx,
+                    jnp.asarray(before, jnp.int32), data_rng,
+                )
+            else:
+                state, ms = run(
+                    state, haze_all, gt_all, idx,
+                    jnp.asarray(before, jnp.int32), data_rng,
+                )
             ms = {k: np.asarray(v) for k, v in ms.items()}
             # wall covers the scan dispatch + metric fetch only (eval /
             # checkpoint I/O below is tunnel-bound and reported separately)

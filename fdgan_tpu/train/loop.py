@@ -257,6 +257,52 @@ def make_device_loop(step, chunk_steps: int):
     return run
 
 
+def make_device_pool_loop(g_step, d_step, chunk_steps: int):
+    """Device-resident multi-step WITH the ImagePool (misc.py:140-161).
+
+    The host-side ``ImagePool`` cannot ride inside ``make_device_loop`` —
+    its buffer and RNG live on the host — so this variant carries a
+    ``(pool_size, b, H, W, C)`` replay buffer through the ``lax.scan``
+    (``train/pool.py::device_pool_query``) and runs the split G/D steps
+    from ``make_gd_steps``: G update → pool query on the stop-gradient'ed
+    fakes → D update on the (possibly historical) fake batch.  This is the
+    stabiliser the reference trains with; without it long device-resident
+    runs drift toward a saturated D (observed: D(fake)→0.01 after ~3.5k
+    steps at 256²).
+
+    Returns ``run(state, pool_buf, n_filled, haze_all, gt_all, idx,
+    base_step, rng) -> (state, pool_buf, n_filled, metrics)``; allocate
+    ``pool_buf, n_filled`` with ``device_pool_init``.  ``state`` and
+    ``pool_buf`` are donated — rebind both every call.
+    """
+    from fdgan_tpu.train.pool import device_pool_query
+
+    g_body = getattr(g_step, "__wrapped__", g_step)
+    d_body = getattr(d_step, "__wrapped__", d_step)
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def run(state, pool_buf, n_filled, haze_all, gt_all, idx, base_step, rng):
+        def scan_body(carry, t_i):
+            st, buf, n = carry
+            t, i = t_i
+            h = jax.lax.dynamic_index_in_dim(haze_all, i, 0, keepdims=False)
+            g = jax.lax.dynamic_index_in_dim(gt_all, i, 0, keepdims=False)
+            st, g_metrics, x_hat = g_body(st, h, g)
+            buf, n, fake = device_pool_query(
+                buf, n, jax.lax.stop_gradient(x_hat), jax.random.fold_in(rng, t)
+            )
+            st, d_metrics = d_body(st, fake, g)
+            return (st, buf, n), {**g_metrics, **d_metrics}
+
+        ts = base_step + jnp.arange(chunk_steps, dtype=jnp.int32)
+        (state, pool_buf, n_filled), ms = jax.lax.scan(
+            scan_body, (state, pool_buf, n_filled), (ts, idx)
+        )
+        return state, pool_buf, n_filled, ms
+
+    return run
+
+
 def make_gd_steps(
     tx_g: optax.GradientTransformation,
     tx_d: optax.GradientTransformation,

@@ -100,12 +100,19 @@ def test_train_cli_device_resident(tiny_ds, tmp_path):
     assert all(np.isfinite(rec["g_total"]) for rec in g)
     assert all(np.isfinite(rec.get("d_total", 0.0)) for rec in g)
 
-    with pytest.raises(SystemExit):  # pool is host-side: incompatible
-        main([
-            "--dataroot", tiny_ds, "--batchSize", "1", "--imageSize", "32",
-            "--epochs", "1", "--exp", str(tmp_path / "y"),
-            "--deviceSteps", "2", "--poolSize", "50",
-        ])
+    # --poolSize > 0 routes through the device-resident replay buffer
+    # (make_device_pool_loop) — split G/D steps inside the scan
+    exp2 = str(tmp_path / "exp_dev_pool")
+    main([
+        "--dataroot", tiny_ds, "--batchSize", "1", "--imageSize", "32",
+        "--epochs", "2", "--exp", exp2, "--logEvery", "1",
+        "--deviceSteps", "3", "--poolSize", "4",
+    ])
+    log2 = [json.loads(l) for l in open(os.path.join(exp2, "train_log.jsonl"))]
+    g2 = [rec for rec in log2 if "g_total" in rec]
+    assert len(g2) >= 4
+    assert all(np.isfinite(rec["g_total"]) for rec in g2)
+    assert all(np.isfinite(rec["d_total"]) for rec in g2)
 
 
 def test_train_cli_device_resident_spatial(tiny_ds, tmp_path):
