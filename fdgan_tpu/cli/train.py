@@ -269,9 +269,25 @@ def main(argv=None):
             ssims.append(float(ssim_fn(jnp.clip((x_hat + 1) * 0.5, 0, 1), jnp.asarray(gt_v))))
         return float(np.mean(psnrs)), float(np.mean(ssims))
 
+    evaluate_fn = evaluate
+    if val_loader is not None and opt.deviceSteps > 0:
+        # device-resident eval: stage the val set once, fetch two scalars
+        # per eval instead of every generated image (the host loop pays
+        # the ~4 MB/s tunnel per image here; train/loop.make_device_eval)
+        try:
+            vh = np.stack([np.asarray(h) for h, _ in val_loader])
+            vg = np.stack([np.asarray(g) for _, g in val_loader])
+        except ValueError:  # ragged val shapes — keep the host loop
+            vh = vg = None
+        if vh is not None:
+            from fdgan_tpu.train.loop import make_device_eval
+
+            dev_eval = make_device_eval(vh, vg)
+            evaluate_fn = lambda p: tuple(float(x) for x in dev_eval(p))
+
     if val_loader is not None and opt.evalIter:
         # step-0 baseline so the logged val trend is self-contained
-        v_psnr, v_ssim = evaluate(state.g_params)
+        v_psnr, v_ssim = evaluate_fn(state.g_params)
         logger.log(int(state.step), {"val_psnr": v_psnr, "val_ssim": v_ssim})
 
     if opt.deviceSteps > 0:
@@ -363,7 +379,7 @@ def main(argv=None):
             if val_loader is not None and opt.evalIter and (
                 after // opt.evalIter > before // opt.evalIter
             ):
-                v_psnr, v_ssim = evaluate(state.g_params)
+                v_psnr, v_ssim = evaluate_fn(state.g_params)
                 logger.log(after, {"val_psnr": v_psnr, "val_ssim": v_ssim})
             if after // nb > before // nb:  # crossed >=1 epoch boundary
                 # a save fetches the whole state over the tunnel — honor

@@ -303,6 +303,41 @@ def make_device_pool_loop(g_step, d_step, chunk_steps: int):
     return run
 
 
+def make_device_eval(val_haze, val_gt):
+    """Fully on-device val evaluation: ``fn(g_params) -> (psnr, ssim)``.
+
+    The reference's evalIter hook (demo.py:50) fetches every generated val
+    image to the host; on this platform that round-trip rides a ~4 MB/s
+    tunnel. Here the val set is staged once (``(n, 1, H, W, C)`` stacks,
+    the val loader's batch-1 layout) and one jitted dispatch maps the
+    generator + PSNR (10·log10(1/MSE) on [0,1], PSNRSSIM.py:201-205) +
+    SSIM (ops/ssim.py) over it — only the two mean scalars cross the
+    tunnel. Parity with the host-side metric loop is pinned by
+    ``tests/test_train.py::test_device_eval_matches_host``.
+    """
+    from fdgan_tpu.ops.ssim import ssim as ssim_fn
+
+    val_haze = jnp.asarray(val_haze)
+    val_gt = jnp.asarray(val_gt)
+
+    @jax.jit
+    def evaluate(g_params):
+        def per_image(_, pair):
+            haze, gt = pair
+            x_hat = fdgan_fast.apply(g_params, haze)
+            x01 = jnp.clip((x_hat.astype(jnp.float32) + 1.0) * 0.5, 0.0, 1.0)
+            gt32 = gt.astype(jnp.float32)
+            mse = jnp.mean(jnp.square(x01 - gt32))
+            p = 10.0 * jnp.log10(1.0 / mse)
+            s = ssim_fn(x01, gt32)
+            return _, (p, s)
+
+        _, (ps, ss) = jax.lax.scan(per_image, None, (val_haze, val_gt))
+        return jnp.mean(ps), jnp.mean(ss)
+
+    return evaluate
+
+
 def make_gd_steps(
     tx_g: optax.GradientTransformation,
     tx_d: optax.GradientTransformation,

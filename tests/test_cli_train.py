@@ -83,6 +83,8 @@ def test_train_cli_device_resident(tiny_ds, tmp_path):
     exp = str(tmp_path / "exp_dev")
     main([
         "--dataroot", tiny_ds,
+        "--valDataroot", tiny_ds,
+        "--evalIter", "2",
         "--batchSize", "1",
         "--imageSize", "32",
         "--epochs", "2",
@@ -99,6 +101,12 @@ def test_train_cli_device_resident(tiny_ds, tmp_path):
     assert len(g) >= 4
     assert all(np.isfinite(rec["g_total"]) for rec in g)
     assert all(np.isfinite(rec.get("d_total", 0.0)) for rec in g)
+    # --valDataroot under --deviceSteps routes through the device-resident
+    # evaluator (train/loop.make_device_eval): step-0 baseline + evalIter hits
+    vals = [rec for rec in log if "val_psnr" in rec]
+    assert vals and vals[0]["step"] == 0
+    assert len(vals) >= 2
+    assert all(np.isfinite(rec["val_psnr"]) and np.isfinite(rec["val_ssim"]) for rec in vals)
 
     # --poolSize > 0 routes through the device-resident replay buffer
     # (make_device_pool_loop) — split G/D steps inside the scan

@@ -196,3 +196,33 @@ def test_device_loop_matches_sequential_steps():
     # (lr_g=2e-4, 3 steps → |Δ| ≲ 6e-4; anything structural would be ≫).
     for xa, xb in zip(la, lb):
         assert np.max(np.abs(np.asarray(xa, np.float32) - np.asarray(xb, np.float32))) < 2e-3
+
+
+def test_device_eval_matches_host():
+    """make_device_eval (val set staged on device, scalar-only fetch) must
+    reproduce the host-side eval loop cli/train.py runs: per-image PSNR
+    (10·log10(1/MSE) on the clipped [0,1] remap, PSNRSSIM.py:201-205
+    protocol) and ops.ssim SSIM, averaged over the val set."""
+    from fdgan_tpu.models import fdgan_fast
+    from fdgan_tpu.ops.metrics import psnr
+    from fdgan_tpu.ops.ssim import ssim as ssim_fn
+    from fdgan_tpu.train.loop import make_device_eval
+
+    state, _, _ = create_train_state(jax.random.PRNGKey(0))
+    n = 2
+    vh = jax.random.uniform(jax.random.PRNGKey(1), (n, 1, 32, 32, 3))
+    vg = jax.random.uniform(jax.random.PRNGKey(2), (n, 1, 32, 32, 3))
+
+    dev_eval = make_device_eval(vh, vg)
+    d_psnr, d_ssim = (float(x) for x in dev_eval(state.g_params))
+
+    # the host loop from cli/train.py::evaluate
+    psnrs, ssims = [], []
+    for i in range(n):
+        x_hat = fdgan_fast.apply(state.g_params, vh[i])
+        x01 = np.asarray((x_hat + 1.0) * 0.5)
+        psnrs.append(psnr(np.clip(x01, 0, 1), np.asarray(vg[i])))
+        ssims.append(float(ssim_fn(jnp.clip((x_hat + 1) * 0.5, 0, 1), vg[i])))
+
+    np.testing.assert_allclose(d_psnr, np.mean(psnrs), rtol=1e-4)
+    np.testing.assert_allclose(d_ssim, np.mean(ssims), rtol=1e-4)
