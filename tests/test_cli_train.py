@@ -109,12 +109,13 @@ def test_train_cli_device_resident(tiny_ds, tmp_path):
     assert all(np.isfinite(rec["val_psnr"]) and np.isfinite(rec["val_ssim"]) for rec in vals)
 
     # --poolSize > 0 routes through the device-resident replay buffer
-    # (make_device_pool_loop) — split G/D steps inside the scan
+    # (make_device_pool_loop) — split G/D steps inside the scan; bf16
+    # additionally exercises the pre-cast (half-size) dataset staging
     exp2 = str(tmp_path / "exp_dev_pool")
     main([
         "--dataroot", tiny_ds, "--batchSize", "1", "--imageSize", "32",
         "--epochs", "2", "--exp", exp2, "--logEvery", "1",
-        "--deviceSteps", "3", "--poolSize", "4",
+        "--deviceSteps", "3", "--poolSize", "4", "--precision", "bf16",
     ])
     log2 = [json.loads(l) for l in open(os.path.join(exp2, "train_log.jsonl"))]
     g2 = [rec for rec in log2 if "g_total" in rec]
