@@ -68,10 +68,15 @@ def test_train_cli_r3_flags(tiny_ds, tmp_path):
         "--dcganInit",
         "--labelSmooth", "0.9",
         "--spatialShards", "2",
+        "--valDataroot", tiny_ds,
+        "--evalIter", "1",
+        "--keepBest",
     ])
     log = [json.loads(l) for l in open(os.path.join(exp, "train_log.jsonl"))]
     g = [rec for rec in log if "g_total" in rec]
     assert g and all(np.isfinite(rec["g_total"]) for rec in g)
+    # --keepBest also works through the streaming (host-loop) path
+    assert os.path.exists(os.path.join(exp, "netG_best.msgpack"))
 
 
 def test_train_cli_device_resident(tiny_ds, tmp_path):
