@@ -10,6 +10,7 @@ compute optional; per-epoch native checkpoints with resume.
 from __future__ import annotations
 
 import argparse
+import json
 import os
 import time
 
@@ -297,7 +298,20 @@ def main(argv=None):
     # deleted buffer one dispatch later — take a device-side copy instead
     # (ONE jitted dispatch for the whole tree; nothing crosses the host
     # link until the single save at exit).
+    if opt.keepBest and (not opt.valDataroot or not opt.evalIter):
+        raise SystemExit(
+            "--keepBest needs --valDataroot and a nonzero --evalIter "
+            "(best-model selection is by val PSNR)"
+        )
     best = {"psnr": float("-inf"), "params": None, "step": 0}
+    best_path = os.path.join(opt.exp, "netG_best.msgpack")
+    if opt.keepBest and os.path.exists(best_path + ".json"):
+        # resuming into an exp dir that already holds a best: seed the bar
+        # from the sidecar so a worse continuation can't clobber it
+        with open(best_path + ".json") as f:
+            prev = json.load(f)
+        best.update(psnr=prev["psnr"], step=prev["step"])
+        print(f"existing best kept as the bar: {prev['psnr']:.2f} dB @ {prev['step']}")
     copy_tree = jax.jit(lambda t: jax.tree.map(lambda x: x.copy(), t))
 
     def track_best(psnr, g_params, step):
@@ -305,14 +319,29 @@ def main(argv=None):
             best.update(psnr=psnr, params=copy_tree(g_params), step=step)
 
     def save_best():
-        if best["params"] is None:
+        if best["params"] is None or best.get("saved"):
             return
-        path = os.path.join(opt.exp, "netG_best.msgpack")
-        save_checkpoint(path, best["params"])
+        best["saved"] = True
+        save_checkpoint(best_path, best["params"])
+        with open(best_path + ".json", "w") as f:
+            json.dump({"psnr": best["psnr"], "step": best["step"]}, f)
         print(
             f"best generator (val PSNR {best['psnr']:.2f} @ step "
-            f"{best['step']}) -> {path}"
+            f"{best['step']}) -> {best_path}"
         )
+
+    def _save_best_at_exit():
+        # a killed/crashed run (tunnel wedge, compile-helper 500, ^C —
+        # all documented realities here) must not lose the tracked best
+        try:
+            save_best()
+        except Exception as e:  # device unreachable / exp dir gone
+            print(f"keepBest: could not save at exit: {e}")
+
+    if opt.keepBest:
+        import atexit
+
+        atexit.register(_save_best_at_exit)
 
     if val_loader is not None and opt.evalIter:
         # step-0 baseline so the logged val trend is self-contained
@@ -432,6 +461,10 @@ def main(argv=None):
                 )
         save_checkpoint(opt.exp, state, step=int(state.step))
         save_best()
+        if opt.keepBest:
+            import atexit
+
+            atexit.unregister(_save_best_at_exit)
         logger.close()
         return
 
@@ -468,6 +501,10 @@ def main(argv=None):
             save_checkpoint(opt.exp, state, step=int(state.step))
         print(f"epoch {epoch} done in {time.time() - t_epoch:.1f}s; avg g_loss {meter.avg:.4f}")
     save_best()
+    if opt.keepBest:
+        import atexit
+
+        atexit.unregister(_save_best_at_exit)
     logger.close()
 
 

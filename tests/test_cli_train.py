@@ -122,6 +122,33 @@ def test_train_cli_device_resident(tiny_ds, tmp_path):
     assert vals and vals[0]["step"] == 0
     assert len(vals) >= 2
     assert all(np.isfinite(rec["val_psnr"]) and np.isfinite(rec["val_ssim"]) for rec in vals)
+    # the saved best params must BE the max-PSNR generator: re-evaluating
+    # them with the same device evaluator reproduces the best logged PSNR
+    import h5py
+
+    from fdgan_tpu.train.loop import make_device_eval
+
+    vh, vg = [], []
+    for fn in sorted(os.listdir(tiny_ds)):
+        with h5py.File(os.path.join(tiny_ds, fn), "r") as f:
+            vh.append(np.asarray(f["haze"])[None])
+            vg.append(np.asarray(f["gt"])[None])
+    psnr, _ = make_device_eval(np.stack(vh), np.stack(vg))(best_params)
+    logged_best = max(rec["val_psnr"] for rec in vals)
+    assert abs(float(psnr) - logged_best) < 1e-3
+    # sidecar records the bar for clobber-safe resume
+    sidecar = json.load(open(best_path + ".json"))
+    assert abs(sidecar["psnr"] - logged_best) < 1e-3
+    # resuming into the same exp dir must never lower the recorded best:
+    # the sidecar seeds the bar, so a worse continuation can't clobber it
+    main([
+        "--dataroot", tiny_ds, "--valDataroot", tiny_ds, "--evalIter", "2",
+        "--batchSize", "1", "--imageSize", "32", "--epochs", "3",
+        "--exp", exp, "--poolSize", "0", "--logEvery", "1",
+        "--deviceSteps", "3", "--keepBest",
+    ])
+    sidecar2 = json.load(open(best_path + ".json"))
+    assert sidecar2["psnr"] >= sidecar["psnr"] - 1e-6
 
     # --poolSize > 0 routes through the device-resident replay buffer
     # (make_device_pool_loop) — split G/D steps inside the scan; bf16
