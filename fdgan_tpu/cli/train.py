@@ -172,6 +172,13 @@ def main(argv=None):
         from fdgan_tpu.cli._common import load_generator_params
 
         state.g_params = load_generator_params(opt.netG)
+    if opt.netD:
+        # discriminator params-only msgpack (the reference never shipped D
+        # checkpoints, so there is no .pth layout to import; demo.py:47
+        # documents the flag as "to continue training")
+        from fdgan_tpu.io.checkpoint import load_checkpoint as _load_params
+
+        state.d_params = _load_params(opt.netD, state.d_params)
     ckpt = latest_checkpoint(opt.exp)
     if ckpt:
         state = load_checkpoint(ckpt, state)
