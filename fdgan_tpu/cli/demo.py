@@ -19,7 +19,10 @@ import time
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser()
-    # reference flags (demo.py:28-51)
+    # reference flags (demo.py:28-51). The train-loop ones (lrD/lrG/beta1/
+    # netD/display/evalIter/...) are accepted-but-ignored at inference,
+    # exactly as the reference's demo.py ignores them — kept so existing
+    # invocation scripts are drop-in compatible.
     p.add_argument("--dataset", default="pix2pix")
     p.add_argument("--valDataroot", default="", help="path to val dataset")
     p.add_argument("--mode", default="B2A")

@@ -33,7 +33,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--netD", default="", help="resume discriminator checkpoint")
     p.add_argument("--workers", type=int, default=2)
     p.add_argument("--exp", default="./checkpoints_fdgan")
-    p.add_argument("--display", type=int, default=5)
+    p.add_argument("--display", type=int, default=5,
+                   help="accepted for reference-flag compatibility (the "
+                        "reference's visdom display cadence); logging here "
+                        "is JSONL via --logEvery")
     p.add_argument("--evalIter", type=int, default=500)
     p.add_argument("--seed", type=int, default=0)
     # loss weights (unpublished in the reference — exposed as flags)
