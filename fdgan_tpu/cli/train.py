@@ -27,8 +27,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lrD", type=float, default=0.0002)
     p.add_argument("--lrG", type=float, default=0.0002)
     p.add_argument("--beta1", type=float, default=0.5)
-    p.add_argument("--annealStart", type=int, default=0)
-    p.add_argument("--annealEvery", type=int, default=400)
+    p.add_argument("--annealStart", type=int, default=0,
+                   help="optimizer step at which linear LR decay begins "
+                        "(0 = decay off — the reference's default of never "
+                        "calling adjust_learning_rate)")
+    p.add_argument("--annealEvery", type=int, default=400,
+                   help="decay reaches 0 this many steps after --annealStart "
+                        "(linear, init_lr/annealEvery per step — "
+                        "misc.py:164-172)")
     p.add_argument("--netG", default="", help="resume generator checkpoint")
     p.add_argument("--netD", default="", help="resume discriminator checkpoint")
     p.add_argument("--workers", type=int, default=2)
@@ -154,6 +160,7 @@ def main(argv=None):
         lr_d=opt.lrD,
         beta1=opt.beta1,
         decay_every=opt.annealEvery if opt.annealStart else 0,
+        decay_start=opt.annealStart,
         clip_grad=opt.clipGrad,
     )
     if opt.dcganInit:

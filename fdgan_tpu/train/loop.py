@@ -49,6 +49,7 @@ def create_train_state(
     lr_d: float = 2e-4,
     beta1: float = 0.5,
     decay_every: int = 0,
+    decay_start: int = 0,
     input_nc: int = 9,
     clip_grad: float = 0.0,
 ) -> Tuple[TrainState, optax.GradientTransformation, optax.GradientTransformation]:
@@ -59,8 +60,10 @@ def create_train_state(
     g_params = fdgan.init(g_rng)
     d_params = nlayer_init(d_rng, input_nc=input_nc)
 
-    sched_g = linear_decay_schedule(lr_g, decay_every) if decay_every else lr_g
-    sched_d = linear_decay_schedule(lr_d, decay_every) if decay_every else lr_d
+    # decay_every = 0 disables decay; decay_start delays it (the reference's
+    # annealStart/annealEvery pair — decay ticks only once annealing starts)
+    sched_g = linear_decay_schedule(lr_g, decay_every, decay_start) if decay_every else lr_g
+    sched_d = linear_decay_schedule(lr_d, decay_every, decay_start) if decay_every else lr_d
     tx_g = optax.adam(sched_g, b1=beta1, b2=0.999)
     tx_d = optax.adam(sched_d, b1=beta1, b2=0.999)
     if clip_grad > 0:

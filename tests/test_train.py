@@ -66,6 +66,37 @@ def test_linear_decay_schedule():
     assert float(sched(20)) == 0.0
 
 
+def test_linear_decay_start_step():
+    """annealStart delays the decay (reference: decay ticks begin only once
+    annealing starts); before start_step the LR is the full init_lr."""
+    sched = linear_decay_schedule(2e-4, every=10, start_step=5)
+    assert float(sched(0)) == pytest.approx(2e-4)
+    assert float(sched(5)) == pytest.approx(2e-4)
+    assert float(sched(10)) == pytest.approx(2e-4 * 0.5)
+    assert float(sched(15)) == 0.0
+
+
+def test_create_train_state_decay_start_reaches_adam():
+    """create_train_state(decay_every, decay_start) must wire start_step into
+    the optax schedule — the lr actually applied by Adam stays init_lr for the
+    first decay_start updates (this was silently dropped before r3)."""
+    state, tx_g, _ = create_train_state(
+        jax.random.PRNGKey(0), lr_g=1e-3, decay_every=4, decay_start=2
+    )
+    p = {"w": jnp.ones((4,))}
+    opt = tx_g.init(p)
+    g = {"w": jnp.ones((4,))}
+    lrs = []
+    for _ in range(4):
+        upd, opt = tx_g.update(g, opt, p)
+        # Adam of a constant gradient has |update| == lr (m/(sqrt(v)+eps) ≈ 1)
+        lrs.append(float(jnp.abs(upd["w"]).mean()))
+    assert lrs[0] == pytest.approx(1e-3, rel=1e-3)  # step count 0 < start
+    assert lrs[1] == pytest.approx(1e-3, rel=1e-3)  # step count 1 < start
+    assert lrs[2] == pytest.approx(1e-3, rel=1e-3)  # count 2: decay begins here
+    assert lrs[3] == pytest.approx(0.75e-3, rel=1e-3)  # count 3: one tick in
+
+
 def test_adjust_learning_rate_imperative():
     lr = 2e-4
     lr = adjust_learning_rate(lr, 2e-4, 10)
