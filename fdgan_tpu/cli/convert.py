@@ -22,7 +22,19 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--src", required=True)
     p.add_argument("--dst", required=True)
-    p.add_argument("--model", default="fdgan", choices=["fdgan", "vgg16"])
+    p.add_argument(
+        "--model",
+        default="fdgan",
+        choices=[
+            "fdgan", "vgg16",          # flagship + perceptual
+            "dense", "dense2",         # DCPDN transmission generators
+            "unetg", "unetg2",         # dehaze22 U-Nets (G, airlight G2)
+            "dehaze",                  # atmospheric-scattering composite
+            "nlayer", "patchd", "begand",  # discriminators
+        ],
+        help="model family the checkpoint belongs to (template + "
+             "ConvTranspose layout map; io/torch_import.model_registry)",
+    )
     p.add_argument("--prefix", default="module.", help="key prefix for .pth export")
     p.add_argument("--imageSize", type=int, default=512, help=".shlo export shape")
     p.add_argument(
@@ -49,22 +61,20 @@ def main(argv=None):
     except Exception:
         pass
 
+    import jax.numpy as jnp
+
     from fdgan_tpu.io.checkpoint import load_checkpoint, save_checkpoint
     from fdgan_tpu.io.torch_import import (
-        FDGAN_TRANSPOSED,
-        convert_fdgan_checkpoint,
+        convert_checkpoint,
         convert_vgg16,
         export_state_dict,
+        model_registry,
     )
 
+    factory, transposed, duplicated = model_registry()[opt.model]
+
     def template():
-        if opt.model == "fdgan":
-            from fdgan_tpu.models import fdgan
-
-            return fdgan.init(jax.random.PRNGKey(0))
-        from fdgan_tpu.models import vgg16
-
-        return vgg16.init(jax.random.PRNGKey(0))
+        return factory(jax.random.PRNGKey(0), jnp.float32)
 
     src_is_torch = opt.src.endswith((".pth", ".pt"))
     dst_is_torch = opt.dst.endswith((".pth", ".pt"))
@@ -75,7 +85,7 @@ def main(argv=None):
         from fdgan_tpu.io.export import export_forward, save_exported
 
         params = (
-            convert_fdgan_checkpoint(opt.src)
+            convert_checkpoint(opt.src, opt.model)
             if src_is_torch
             else load_checkpoint(opt.src, template())
         )
@@ -98,7 +108,9 @@ def main(argv=None):
 
     if src_is_torch and not dst_is_torch:
         params = (
-            convert_fdgan_checkpoint(opt.src) if opt.model == "fdgan" else convert_vgg16(opt.src)
+            convert_vgg16(opt.src)  # accepts torchvision features.* naming too
+            if opt.model == "vgg16"
+            else convert_checkpoint(opt.src, opt.model)
         )
         save_checkpoint(opt.dst, params)
         print(f"imported {opt.src} -> {opt.dst}")
@@ -106,8 +118,9 @@ def main(argv=None):
         import torch
 
         params = load_checkpoint(opt.src, template())
-        transposed = FDGAN_TRANSPOSED if opt.model == "fdgan" else frozenset()
-        state = export_state_dict(params, prefix=opt.prefix, transposed=transposed)
+        state = export_state_dict(
+            params, prefix=opt.prefix, transposed=transposed, duplicated=duplicated
+        )
         torch.save({k: torch.from_numpy(v) for k, v in state.items()}, opt.dst)
         print(f"exported {opt.src} -> {opt.dst} ({len(state)} tensors)")
     else:

@@ -69,9 +69,16 @@ def convert_state_dict(
     target: dict,
     strict: bool = True,
     dtype=jnp.float32,
+    transposed: frozenset = frozenset(),
 ) -> dict:
     """Map a flat torch state dict onto a copy of `target` (a template pytree
-    from the matching `init()`), verifying shapes leaf by leaf."""
+    from the matching `init()`), verifying shapes leaf by leaf.
+
+    ``transposed`` lists module paths (tree-relative, e.g. ``dlayer8.tconv``)
+    that are ConvTranspose2d in torch and therefore stored IOHW. Shape-based
+    auto-disambiguation cannot tell the layouts apart when in/out channels
+    are equal (the U-Net G's 512→512 ``dlayer8`` is one) — listed modules
+    are force-read as IOHW; see the per-model ``*_TRANSPOSED`` sets below."""
     import copy
 
     out = copy.deepcopy(target)
@@ -101,9 +108,12 @@ def convert_state_dict(
         if leaf == "weight":
             if arr.ndim == 4:
                 expected = parent["kernel"].shape
-                cand = arr.transpose(2, 3, 1, 0)  # OIHW → HWIO
-                if cand.shape != tuple(expected):
+                if ".".join(parent_parts) in transposed:
                     cand = arr.transpose(2, 3, 0, 1)  # ConvTranspose IOHW → HWIO
+                else:
+                    cand = arr.transpose(2, 3, 1, 0)  # OIHW → HWIO
+                    if cand.shape != tuple(expected):
+                        cand = arr.transpose(2, 3, 0, 1)  # ConvTranspose IOHW → HWIO
                 if cand.shape != tuple(expected):
                     raise ValueError(
                         f"{key}: torch shape {arr.shape} fits neither conv nor "
@@ -138,7 +148,9 @@ def convert_fdgan_checkpoint(path: str, rng=None, dtype=jnp.float32) -> dict:
     from fdgan_tpu.models import fdgan
 
     target = fdgan.init(rng if rng is not None else jax.random.PRNGKey(0), dtype)
-    return convert_state_dict(load_torch_state_dict(path), target, dtype=dtype)
+    return convert_state_dict(
+        load_torch_state_dict(path), target, dtype=dtype, transposed=FDGAN_TRANSPOSED
+    )
 
 
 # torchvision vgg16's Sequential indices of the 13 convs, in _CFG order
@@ -180,13 +192,23 @@ def convert_vgg16(path: str, rng=None, dtype=jnp.float32) -> dict:
 
 
 def export_state_dict(
-    params: dict, prefix: str = "", transposed: frozenset = frozenset()
+    params: dict,
+    prefix: str = "",
+    transposed: frozenset = frozenset(),
+    duplicated: frozenset = frozenset(),
 ) -> Dict[str, np.ndarray]:
     """Inverse direction: fdgan_tpu pytree → flat torch-layout state dict.
     Regular convs go back to OIHW; modules whose dotted path (relative to the
     tree root, without `prefix`) is in `transposed` are ConvTranspose2d in
     torch and go back to IOHW. Lets reference tooling consume checkpoints
-    trained here."""
+    trained here.
+
+    ``duplicated`` lists tree paths built by the reference's blockUNet-style
+    dotted ``add_module`` names (dehaze22.py:35-60: a Sequential attr
+    ``layer2`` holds modules named ``layer2.conv`` …), whose state keys
+    double the segment: tree ``dlayer8.tconv`` → torch
+    ``dlayer8.dlayer8.tconv.weight``. Import direction undoes this via the
+    consecutive-segment dedup in `convert_state_dict`."""
     flat: Dict[str, np.ndarray] = {}
 
     def walk(node, path, rel):
@@ -209,6 +231,18 @@ def export_state_dict(
                     walk(v, f"{path}{k}.", f"{rel}{k}.")
 
     walk(params, prefix, "")
+    if duplicated:
+        dup = {tuple(p.split(".")) for p in duplicated}
+        redone = {}
+        for key, v in flat.items():
+            rel = key[len(prefix):] if prefix and key.startswith(prefix) else key
+            parts = rel.split(".")
+            for d in dup:
+                if len(parts) > len(d) and tuple(parts[: len(d)]) == d:
+                    parts = list(d) + [d[-1]] + parts[len(d):]
+                    break
+            redone[prefix + ".".join(parts)] = v
+        flat = redone
     return flat
 
 
@@ -217,3 +251,73 @@ def export_state_dict(
 FDGAN_TRANSPOSED = frozenset(
     {"trans_block4.conv1", "trans_block5.conv1", "trans_block6.conv1"}
 )
+
+# blockUNet(transposed=True) decoder of G/G2 (dehaze22.py:245-289) — note
+# dlayer8/7/6/5 are 512→512-class shapes where layout auto-disambiguation
+# is impossible (equal in/out channels)
+UNET_TRANSPOSED = frozenset(
+    {f"dlayer{i}.tconv" for i in range(2, 9)} | {"dlayer1.tconv"}
+)
+
+# TransitionBlock ConvTranspose 1×1s of the Dense/Dense2 decoder
+# (dehaze1113.py:447-477 / :588-618)
+DENSE_G_TRANSPOSED = frozenset({f"trans_block{i}.conv1" for i in range(4, 9)})
+
+# dehaze physical model: union of its submodels' sets under their attribute
+# prefixes (dehaze22.py:665-667)
+DEHAZE_TRANSPOSED = frozenset(
+    {f"tran_est.{p}" for p in UNET_TRANSPOSED}
+    | {f"atp_est.{p}" for p in UNET_TRANSPOSED}
+    | {f"tran_dense.{p}" for p in DENSE_G_TRANSPOSED}
+)
+
+# Modules the reference builds with blockUNet's dotted add_module names —
+# their torch state keys double the segment (``dlayer8.dlayer8.tconv``);
+# see `export_state_dict(duplicated=...)` / the import-side dedup.
+UNET_DUPLICATED = frozenset(
+    {f"layer{i}" for i in range(1, 9)} | {f"dlayer{i}" for i in range(1, 9)}
+)
+DEHAZE_DUPLICATED = frozenset(
+    {f"tran_est.{p}" for p in UNET_DUPLICATED}
+    | {f"atp_est.{p}" for p in UNET_DUPLICATED}
+)
+PATCHD_DUPLICATED = frozenset({"main.layer2", "main.layer3"})  # dehaze1113.py:201-207
+
+
+def model_registry() -> dict:
+    """Model-name → ``(template_factory, transposed_set, duplicated_set)``
+    for every checkpointable model family (SURVEY §2.2-2.3).
+    ``template_factory(rng, dtype)`` returns the init pytree
+    `convert_state_dict` maps onto; ``transposed`` feeds both conversion
+    directions (import layout forcing, export IOHW); ``duplicated`` rebuilds
+    the reference's dotted blockUNet key naming on export."""
+    from fdgan_tpu.models import dcpdn, discriminators, fdgan, vgg16
+
+    none = frozenset()
+    return {
+        "fdgan": (lambda r, d: fdgan.init(r, d), FDGAN_TRANSPOSED, none),
+        "vgg16": (lambda r, d: vgg16.init(r, d), none, none),
+        # dehaze1113.Dense (no pyramid head) / Dense2 ≡ dehaze22.Dense
+        "dense": (lambda r, d: dcpdn.dense_g_init(r, pyramid=False, dtype=d), DENSE_G_TRANSPOSED, none),
+        "dense2": (lambda r, d: dcpdn.dense_g_init(r, pyramid=True, dtype=d), DENSE_G_TRANSPOSED, none),
+        "unetg": (lambda r, d: dcpdn.unet_g_init(r, dtype=d), UNET_TRANSPOSED, UNET_DUPLICATED),
+        "unetg2": (lambda r, d: dcpdn.unet_g2_init(r, dtype=d), UNET_TRANSPOSED, UNET_DUPLICATED),
+        "dehaze": (lambda r, d: dcpdn.dehaze_physical_init(r, dtype=d), DEHAZE_TRANSPOSED, DEHAZE_DUPLICATED),
+        "nlayer": (lambda r, d: discriminators.nlayer_init(r, dtype=d), none, none),
+        "patchd": (lambda r, d: discriminators.patch_d_init(r, dtype=d), none, PATCHD_DUPLICATED),
+        "begand": (lambda r, d: discriminators.began_d_init(r, dtype=d), none, none),
+    }
+
+
+def convert_checkpoint(path: str, model: str = "fdgan", rng=None, dtype=jnp.float32) -> dict:
+    """`.pth` → param pytree for any registered model family."""
+    import jax
+
+    reg = model_registry()
+    if model not in reg:
+        raise KeyError(f"unknown model {model!r}; choose from {sorted(reg)}")
+    factory, transposed, _dup = reg[model]
+    target = factory(rng if rng is not None else jax.random.PRNGKey(0), dtype)
+    return convert_state_dict(
+        load_torch_state_dict(path), target, dtype=dtype, transposed=transposed
+    )

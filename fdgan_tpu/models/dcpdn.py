@@ -53,21 +53,29 @@ from fdgan_tpu.nn.layers import (
 # ---------------------------------------------------------------------------
 
 def _unet_core_init(rng, input_nc: int, nf: int, dtype) -> dict:
-    """Shared 8-down encoder + 8-up decoder parameters (dehaze22.py:209-284)."""
+    """Shared 8-down encoder + 8-up decoder parameters (dehaze22.py:209-284).
+
+    Key names mirror the reference state dict after DataParallel-style
+    dedup of blockUNet's dotted module names (``dlayer8.dlayer8.tconv`` →
+    ``dlayer8.tconv``): encoder convs under ``layer{i}.conv`` except
+    ``layer1`` which IS the conv (dehaze22.py:211-212 adds the bare Conv2d
+    under the layer name itself), decoder ConvTranspose2d under
+    ``dlayer{i}.tconv`` — so reference ``G``/``G2`` checkpoints convert
+    losslessly (io/torch_import)."""
     keys = iter(jax.random.split(rng, 20))
-    p = {}
-    enc_out = [nf, nf * 2, nf * 4, nf * 8, nf * 8, nf * 8, nf * 8, nf * 8]
-    in_c = input_nc
-    for i, out_c in enumerate(enc_out, start=1):
-        layer = {"conv": conv2d_init(next(keys), in_c, out_c, 4, bias=False, dtype=dtype)}
-        if i > 1:
-            layer["bn"] = batch_norm_init(out_c, dtype)
-        p[f"layer{i}"] = layer
+    p = {"layer1": conv2d_init(next(keys), input_nc, nf, 4, bias=False, dtype=dtype)}
+    enc_out = [nf * 2, nf * 4, nf * 8, nf * 8, nf * 8, nf * 8, nf * 8]
+    in_c = nf
+    for i, out_c in enumerate(enc_out, start=2):
+        p[f"layer{i}"] = {
+            "conv": conv2d_init(next(keys), in_c, out_c, 4, bias=False, dtype=dtype),
+            "bn": batch_norm_init(out_c, dtype),
+        }
         in_c = out_c
     dec_in = [nf * 8, nf * 16, nf * 16, nf * 16, nf * 16, nf * 8, nf * 4]
     dec_out = [nf * 8, nf * 8, nf * 8, nf * 8, nf * 4, nf * 2, nf]
     for i, (ic, oc) in zip(range(8, 1, -1), zip(dec_in, dec_out)):
-        layer = {"conv": conv2d_init(next(keys), ic, oc, 4, bias=False, dtype=dtype)}
+        layer = {"tconv": conv2d_init(next(keys), ic, oc, 4, bias=False, dtype=dtype)}
         if i != 8:  # dlayer8 has bn=False (dehaze22.py:246)
             layer["bn"] = batch_norm_init(oc, dtype)
         p[f"dlayer{i}"] = layer
@@ -78,7 +86,7 @@ def _unet_core_apply(p, x, bn: BNCtx, rng, train: bool):
     """Encoder (LeakyReLU pre-act after layer1) + skip-concat decoder
     (ReLU pre-act, transposed convs, dropout on dlayer8/7/6)."""
     outs = []
-    h = conv2d(p["layer1"]["conv"], x, stride=2, padding=1)
+    h = conv2d(p["layer1"], x, stride=2, padding=1)
     outs.append(h)
     for i in range(2, 9):
         layer = p[f"layer{i}"]
@@ -89,7 +97,7 @@ def _unet_core_apply(p, x, bn: BNCtx, rng, train: bool):
     d = outs[7]
     for j, i in enumerate(range(8, 1, -1)):
         layer = p[f"dlayer{i}"]
-        d = conv_transpose2d(layer["conv"], relu(d), stride=2, padding=1)
+        d = conv_transpose2d(layer["tconv"], relu(d), stride=2, padding=1)
         if "bn" in layer:
             d = bn(layer["bn"], d, f"dlayer{i}.bn")
         if i >= 6:  # dropout 0.5 on dlayer8/7/6 (dehaze22.py:246-257)
@@ -117,7 +125,9 @@ def unet_g_init(rng, input_nc: int = 3, output_nc: int = 3, nf: int = 64, dtype=
     p["dlayer1"] = {"tconv": conv2d_init(next(keys), nf * 2, 20, 4, bias=False, dtype=dtype)}
     for name in ("conv1010", "conv1020", "conv1030", "conv1040"):
         p[name] = conv2d_init(next(keys), 20, 1, 1, dtype=dtype)
-    p["dlayerfinal"] = {"conv": conv2d_init(next(keys), 24, output_nc, 3, bias=False, dtype=dtype)}
+    # the reference builds dlayerfinal with the `name` variable still set to
+    # 'dlayer1' (dehaze22.py:286-289) → state key dlayerfinal.dlayer1.conv
+    p["dlayerfinal"] = {"dlayer1": {"conv": conv2d_init(next(keys), 24, output_nc, 3, bias=False, dtype=dtype)}}
     return p
 
 
@@ -132,7 +142,7 @@ def unet_g_apply(
     d = _unet_core_apply(p, x, bn, rng, train)
     d1 = conv_transpose2d(p["dlayer1"]["tconv"], relu(d), stride=2, padding=1)
     fused = _pyramid_head(p, d1, (16, 8, 4, 2))
-    return tanh(conv2d(p["dlayerfinal"]["conv"], fused, padding=1))
+    return tanh(conv2d(p["dlayerfinal"]["dlayer1"]["conv"], fused, padding=1))
 
 
 def unet_g2_init(rng, input_nc: int = 3, output_nc: int = 3, nf: int = 8, dtype=jnp.float32) -> dict:

@@ -133,8 +133,11 @@ def fusion_apply(
 # ---------------------------------------------------------------------------
 
 def patch_d_init(rng: jax.Array, nc: int = 3, nf: int = 64, dtype=jnp.float32) -> dict:
+    """Tree nests under ``main`` like the reference's ``self.main``
+    Sequential (dehaze1113.py:192-226 → state keys ``main.layer{i}.conv``
+    after dotted-name dedup) so D checkpoints convert losslessly."""
     keys = iter(jax.random.split(rng, 5))
-    return {
+    return {"main": {
         "layer1": {"conv": conv2d_init(next(keys), nc, nf, 4, bias=False, dtype=dtype)},
         "layer2": {
             "conv": conv2d_init(next(keys), nf, nf * 2, 3, bias=False, dtype=dtype),
@@ -146,17 +149,18 @@ def patch_d_init(rng: jax.Array, nc: int = 3, nf: int = 64, dtype=jnp.float32) -
         },
         "layer4": {"conv": conv2d_init(next(keys), nf * 4, nf * 8, 4, bias=False, dtype=dtype)},
         "layer5": {"conv": conv2d_init(next(keys), nf * 8, 1, 4, bias=False, dtype=dtype)},
-    }
+    }}
 
 
 def patch_d_apply(params: dict, x: jax.Array, bn: Optional[BNCtx] = None) -> jax.Array:
     bn = bn or BNCtx()
+    params = params["main"]
     h = conv2d(params["layer1"]["conv"], x, stride=2, padding=1)
     # layer2/3: blockUNet1 (k=3, s=1) with BN, LeakyReLU pre-activation
     h = leaky_relu(h, 0.2)
-    h = bn(params["layer2"]["bn"], conv2d(params["layer2"]["conv"], h, stride=1, padding=1), "layer2.bn")
+    h = bn(params["layer2"]["bn"], conv2d(params["layer2"]["conv"], h, stride=1, padding=1), "main.layer2.bn")
     h = leaky_relu(h, 0.2)
-    h = bn(params["layer3"]["bn"], conv2d(params["layer3"]["conv"], h, stride=1, padding=1), "layer3.bn")
+    h = bn(params["layer3"]["bn"], conv2d(params["layer3"]["conv"], h, stride=1, padding=1), "main.layer3.bn")
     # layer4: LeakyReLU + 4×4 s1 conv (no BN)
     h = leaky_relu(h, 0.2)
     h = conv2d(params["layer4"]["conv"], h, stride=1, padding=1)

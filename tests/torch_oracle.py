@@ -242,3 +242,180 @@ class Dense2Oracle(nn.Module):
             outs.append(z)
         dehaze = torch.cat(outs + [x9], 1)
         return torch.tanh(self.refine3(dehaze))
+
+
+def reference_key_names(state):
+    """Rebuild the reference's REAL state-dict naming from an oracle's
+    dedup'd one: blockUNet modules double their name segment
+    (``dlayer8.tconv`` → ``dlayer8.dlayer8.tconv``, dehaze22.py:35-60 —
+    torch ≥1.0 forbids dots in ``add_module`` names, so the oracles can't
+    carry the dotted names natively). ``dlayerfinal.*`` and the pyramid
+    convs keep their names."""
+    out = {}
+    for k, v in state.items():
+        parts = k.split(".")
+        for i, seg in enumerate(parts[:-1]):
+            if (seg.startswith("layer") or seg.startswith("dlayer")) and seg != "dlayerfinal":
+                if i + 1 < len(parts) and parts[i + 1] != seg and not (
+                    i > 0 and parts[i - 1] == "dlayerfinal"
+                ):
+                    parts = parts[: i + 1] + [seg] + parts[i + 1 :]
+                break
+        out[".".join(parts)] = v
+    return out
+
+
+class _UNetDown(nn.Module):
+    """blockUNet(transposed=False): LeakyReLU pre-act → 4×4 s2 conv → BN
+    (dehaze22.py:52-60). Submodule names = the reference's dedup'd state
+    keys (``layer2.layer2.conv`` → ``layer2.conv``)."""
+
+    def __init__(self, in_c, out_c):
+        super().__init__()
+        self.conv = nn.Conv2d(in_c, out_c, 4, 2, 1, bias=False)
+        self.bn = nn.BatchNorm2d(out_c)
+
+    def forward(self, x):
+        return self.bn(self.conv(F.leaky_relu(x, 0.2)))
+
+
+class _UNetUp(nn.Module):
+    """blockUNet(transposed=True): ReLU pre-act → 4×4 s2 ConvTranspose →
+    optional BN → optional Dropout2d (dehaze22.py:52-60)."""
+
+    def __init__(self, in_c, out_c, bn=True, dropout=False):
+        super().__init__()
+        self.tconv = nn.ConvTranspose2d(in_c, out_c, 4, 2, 1, bias=False)
+        if bn:
+            self.bn = nn.BatchNorm2d(out_c)
+        self.drop = nn.Dropout2d(0.5) if dropout else None
+
+    def forward(self, x):
+        h = self.tconv(F.relu(x))
+        if hasattr(self, "bn"):
+            h = self.bn(h)
+        if self.drop is not None:
+            h = self.drop(h)
+        return h
+
+
+class _UNetUpFinal(nn.Module):
+    """dlayer1: ReLU → ConvTranspose only (dehaze22.py:284-289 / :443-447)."""
+
+    def __init__(self, in_c, out_c):
+        super().__init__()
+        self.tconv = nn.ConvTranspose2d(in_c, out_c, 4, 2, 1, bias=False)
+
+    def forward(self, x):
+        return self.tconv(F.relu(x))
+
+
+def _unet_backbone(m: nn.Module, input_nc: int, nf: int):
+    """Attach the shared 8-down/7-up trunk of G/G2 (dehaze22.py:205-284)."""
+    m.layer1 = nn.Conv2d(input_nc, nf, 4, 2, 1, bias=False)
+    m.layer2 = _UNetDown(nf, nf * 2)
+    m.layer3 = _UNetDown(nf * 2, nf * 4)
+    m.layer4 = _UNetDown(nf * 4, nf * 8)
+    m.layer5 = _UNetDown(nf * 8, nf * 8)
+    m.layer6 = _UNetDown(nf * 8, nf * 8)
+    m.layer7 = _UNetDown(nf * 8, nf * 8)
+    m.layer8 = _UNetDown(nf * 8, nf * 8)
+    m.dlayer8 = _UNetUp(nf * 8, nf * 8, bn=False, dropout=True)
+    m.dlayer7 = _UNetUp(nf * 16, nf * 8, dropout=True)
+    m.dlayer6 = _UNetUp(nf * 16, nf * 8, dropout=True)
+    m.dlayer5 = _UNetUp(nf * 16, nf * 8)
+    m.dlayer4 = _UNetUp(nf * 16, nf * 4)
+    m.dlayer3 = _UNetUp(nf * 8, nf * 2)
+    m.dlayer2 = _UNetUp(nf * 4, nf)
+
+
+def _unet_trunk_forward(m: nn.Module, x):
+    outs = [m.layer1(x)]
+    for i in range(2, 9):
+        outs.append(getattr(m, f"layer{i}")(outs[-1]))
+    d = outs[7]
+    for i in range(8, 1, -1):
+        d = getattr(m, f"dlayer{i}")(d)
+        d = torch.cat([d, outs[i - 2]], 1)
+    return d  # cat[dout2, out1]
+
+
+class UNetGOracle(nn.Module):
+    """dehaze22.G (:205-362): U-Net + 4-scale pyramid head. ``nf`` scalable
+    for test speed; dlayer8 keeps the equal-in/out ConvTranspose that defeats
+    layout auto-disambiguation (io/torch_import UNET_TRANSPOSED)."""
+
+    def __init__(self, input_nc=3, output_nc=3, nf=8):
+        super().__init__()
+        _unet_backbone(self, input_nc, nf)
+        self.dlayer1 = _UNetUpFinal(nf * 2, 20)
+        for name in ("conv1010", "conv1020", "conv1030", "conv1040"):
+            setattr(self, name, nn.Conv2d(20, 1, 1))
+        final = nn.Module()
+        inner = nn.Module()
+        inner.conv = nn.Conv2d(24, output_nc, 3, 1, 1, bias=False)
+        final.dlayer1 = inner  # reference reuses name='dlayer1' (dehaze22.py:286-289)
+        self.dlayerfinal = final
+
+    def forward(self, x):
+        d = _unet_trunk_forward(self, x)
+        dout1 = self.dlayer1(d)
+        shape_out = dout1.shape[2:4]
+        outs = []
+        for pool, name in ((16, "conv1010"), (8, "conv1020"), (4, "conv1030"), (2, "conv1040")):
+            z = F.avg_pool2d(dout1, pool)
+            z = F.interpolate(F.leaky_relu(getattr(self, name)(z), 0.2), size=shape_out, mode="nearest")
+            outs.append(z)
+        fused = torch.cat(outs + [dout1], 1)
+        return torch.tanh(self.dlayerfinal.dlayer1.conv(fused))
+
+
+class UNetG2Oracle(nn.Module):
+    """dehaze22.G2 (:364-488): airlight U-Net; final 'tanh' module is
+    actually LeakyReLU(0.2) (:447)."""
+
+    def __init__(self, input_nc=3, output_nc=3, nf=8):
+        super().__init__()
+        _unet_backbone(self, input_nc, nf)
+        self.dlayer1 = _UNetUpFinal(nf * 2, output_nc)
+
+    def forward(self, x):
+        d = _unet_trunk_forward(self, x)
+        return F.leaky_relu(self.dlayer1(d), 0.2)
+
+
+class DehazeOracle(nn.Module):
+    """dehaze22.dehaze (:662-753): J=(I−A)/t+A composition with dead
+    ``tran_est``/``batch1`` members carried for state-dict parity."""
+
+    def __init__(self):
+        super().__init__()
+        self.tran_est = UNetGOracle(3, 3, 64)  # dead (dehaze22.py:665)
+        self.atp_est = UNetG2Oracle(3, 3, 8)
+        self.tran_dense = Dense2Oracle()
+        self.refine1 = nn.Conv2d(6, 20, 3, 1, 1)
+        self.refine2 = nn.Conv2d(20, 20, 3, 1, 1)
+        for name in ("conv1010", "conv1020", "conv1030", "conv1040"):
+            setattr(self, name, nn.Conv2d(20, 1, 1))
+        self.refine3 = nn.Conv2d(24, 3, 3, 1, 1)
+        self.batch1 = nn.BatchNorm2d(20)  # dead (dehaze22.py:687)
+
+    def forward(self, x):
+        tran = self.tran_dense(x)
+        atp = self.atp_est(x)
+        zz = torch.abs(tran) + 1e-10
+        shape_out = atp.shape[2:4]
+        atp = F.avg_pool2d(atp, atp.shape[2])
+        atp = F.interpolate(F.leaky_relu(atp, 0.2), size=shape_out, mode="nearest")
+        dehaze = (x - atp) / zz + atp
+        dehaze2 = dehaze
+        h = torch.cat([dehaze, x], 1)
+        h = F.leaky_relu(self.refine1(h), 0.2)
+        h = F.leaky_relu(self.refine2(h), 0.2)
+        outs = []
+        for pool, name in ((32, "conv1010"), (16, "conv1020"), (8, "conv1030"), (4, "conv1040")):
+            z = F.avg_pool2d(h, pool)
+            z = F.interpolate(F.leaky_relu(getattr(self, name)(z), 0.2), size=shape_out, mode="nearest")
+            outs.append(z)
+        fused = torch.cat(outs + [h], 1)
+        return torch.tanh(self.refine3(fused)), tran, atp, dehaze2
