@@ -33,6 +33,24 @@ def test_dense2_parity(rng, np_rng):
 from torch_oracle import reference_key_names as _reference_key_names  # noqa: E402
 
 
+def test_dense_parity(rng, np_rng):
+    """dehaze1113.Dense — the no-pyramid variant with the live batchnorm20
+    tail and dead conv1010-1040/batchnorm1 (r3: previously only Dense2 had
+    an oracle)."""
+    from torch_oracle import DenseOracle
+
+    torch.manual_seed(5)
+    oracle = DenseOracle()
+    oracle.train()
+    state = {k: v.detach().numpy() for k, v in oracle.state_dict().items()}
+    params = convert_state_dict(state, dcpdn.dense_g_init(rng, pyramid=False))
+    x = np_rng.uniform(0, 1, (1, 128, 128, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref = oracle(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy().transpose(0, 2, 3, 1)
+    got = np.asarray(dcpdn.dense_g_apply(params, jnp.asarray(x), pyramid=False))
+    np.testing.assert_allclose(got, ref, atol=5e-4, rtol=1e-3)
+
+
 def _torch_forward(oracle, x):
     """oracle.train() for batch-stats BN (reference inference mode) but with
     every Dropout disabled — the deterministic comparison mode."""

@@ -220,7 +220,7 @@ class Dense2Oracle(nn.Module):
             setattr(self, name, nn.Conv2d(20, 1, 1))
         self.refine3 = nn.Conv2d(24, 3, 3, 1, 1)
 
-    def forward(self, x):
+    def _trunk(self, x):
         x0 = F.max_pool2d(F.relu(self.norm0(self.conv0(x))), 3, 2, 1)
         x1 = self.trans_block1(self.dense_block1(x0))
         x2 = self.trans_block2(self.dense_block2(x1))
@@ -232,8 +232,10 @@ class Dense2Oracle(nn.Module):
         x6 = self.trans_block6(self.dense_block6(x52))
         x7 = self.trans_block7(self.dense_block7(x6))
         x8 = self.trans_block8(self.dense_block8(x7))
-        x8 = torch.cat([x8, x], 1)
-        x9 = F.leaky_relu(self.conv_refin(x8), 0.2)
+        return torch.cat([x8, x], 1)
+
+    def forward(self, x):
+        x9 = F.leaky_relu(self.conv_refin(self._trunk(x)), 0.2)
         shape_out = x9.shape[2:4]
         outs = []
         for pool, name in ((32, "conv1010"), (16, "conv1020"), (8, "conv1030"), (4, "conv1040")):
@@ -242,6 +244,22 @@ class Dense2Oracle(nn.Module):
             outs.append(z)
         dehaze = torch.cat(outs + [x9], 1)
         return torch.tanh(self.refine3(dehaze))
+
+
+class DenseOracle(Dense2Oracle):
+    """dehaze1113.Dense (:431-568, the no-pyramid 'batchnorm20' variant):
+    tail = tanh(refine3(LeakyReLU(batchnorm20(conv_refin(x8))))); dead
+    batchnorm1 and conv1010-1040 carried for checkpoint parity."""
+
+    def __init__(self):
+        super().__init__()
+        self.refine3 = nn.Conv2d(20, 3, 3, 1, 1)  # 20→3 (no pyramid concat)
+        self.batchnorm20 = nn.BatchNorm2d(20)
+        self.batchnorm1 = nn.BatchNorm2d(1)  # dead (dehaze1113.py:497)
+
+    def forward(self, x):
+        x9 = F.leaky_relu(self.batchnorm20(self.conv_refin(self._trunk(x))), 0.2)
+        return torch.tanh(self.refine3(x9))
 
 
 def reference_key_names(state):
