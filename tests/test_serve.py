@@ -144,16 +144,19 @@ def test_stream_max_wait_flushes_partial_group(np_rng):
 
     def slow():
         yield imgs[0]
-        time.sleep(0.05)
+        # generous sleep vs max_wait: ~20 poll-tick opportunities, so the
+        # assertion holds even when a loaded 1-CPU box starves the consumer
+        # thread for hundreds of ms (observed flake under a parallel TPU job)
+        time.sleep(0.5)
         yield imgs[1]  # same bucket, arrives after img 0's deadline passed
         yield imgs[2]
 
-    staged = eng._stage(enumerate(slow()), max_wait=0.02)
+    staged = eng._stage(enumerate(slow()), max_wait=0.1)
     first = next(s for s in staged if s is not None)  # skip idle markers
     # img 0's group flushes partial (below the rung of 4) once its deadline
     # passes — via the idle tick during the producer's sleep
     assert [m[0] for m in first[1]] == [0]
-    outs = list(eng.stream(iter(slow()), max_wait=0.02))
+    outs = list(eng.stream(iter(slow()), max_wait=0.1))
     for img, out in zip(imgs, outs):
         np.testing.assert_array_equal(out, img)
 
