@@ -43,7 +43,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--maxWait", type=float, default=0.0,
                    help="flush a partially-filled batch once its oldest image "
                         "has waited this many seconds (0 = wait for a full "
-                        "batch); deadlines fire even if the input goes idle")
+                        "batch); deadlines fire even if the input goes idle — "
+                        "but the bound holds only while the consumer keeps "
+                        "iterating the stream (results are pulled, not pushed; "
+                        "this CLI iterates continuously so the bound holds)")
     p.add_argument("--tile", type=int, default=0, help="halo-tile images above this size")
     p.add_argument("--halo", type=int, default=128)
     p.add_argument("--dataShards", type=int, default=0,

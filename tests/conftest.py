@@ -30,3 +30,35 @@ def rng():
 @pytest.fixture
 def np_rng():
     return np.random.default_rng(0)
+
+
+# --- test tiering (VERDICT r3 #6) -----------------------------------------
+# Full-model XLA compiles dominate the ~30 min suite. Modules listed here
+# are auto-marked `slow`; `pytest -m "not slow"` runs the fast unit tier
+# (target < ~5 min on one core). Individual tests can also carry an explicit
+# @pytest.mark.slow.
+SLOW_MODULES = {
+    "test_cli",
+    "test_cli_train",
+    "test_convergence",
+    "test_convert_cli",
+    "test_dcpdn_oracle",
+    "test_dist",
+    "test_export",
+    "test_fdgan",
+    "test_fdgan_fast",
+    "test_golden_e2e",
+    "test_lifecycle",
+    "test_pallas_dense",
+    "test_serve",
+    "test_tiling_fdgan",
+    "test_train",
+    "test_train_pool",
+    "test_vgg16",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.module and item.module.__name__.split(".")[-1] in SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)
