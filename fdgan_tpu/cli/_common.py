@@ -15,11 +15,9 @@ def save_image_normalized(arr_hwc: np.ndarray, path: str) -> None:
     (demo.py:151): min/max-normalise the tensor to [0,1], then write 8-bit."""
     from PIL import Image
 
-    a = np.asarray(arr_hwc, np.float32)
-    lo, hi = float(a.min()), float(a.max())
-    a = (a - lo) / max(hi - lo, 1e-5)
-    img = (a * 255.0 + 0.5).clip(0, 255).astype(np.uint8)
-    Image.fromarray(img).save(path)
+    from fdgan_tpu.utils.images import normalize_to_uint8
+
+    Image.fromarray(normalize_to_uint8(arr_hwc)).save(path)
 
 
 def load_generator_params(path: str, dtype=None):

@@ -22,7 +22,8 @@ EXTS = (".png", ".jpg", ".jpeg", ".bmp")
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser()
-    p.add_argument("--inDir", required=True, help="directory of hazy images")
+    p.add_argument("--inDir", default="", help="directory of hazy images "
+                   "(required unless --http is given)")
     p.add_argument("--outDir", default="./result_serve/")
     p.add_argument("--netG", default="", help="generator checkpoint (.pth or .msgpack)")
     p.add_argument(
@@ -49,6 +50,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "this CLI iterates continuously so the bound holds)")
     p.add_argument("--tile", type=int, default=0, help="halo-tile images above this size")
     p.add_argument("--halo", type=int, default=128)
+    p.add_argument("--http", type=int, default=0, metavar="PORT",
+                   help="serve an HTTP API instead of a folder pass: "
+                        "POST /dehaze (image in, dehazed PNG out), GET "
+                        "/healthz, GET /stats. Concurrent requests are "
+                        "batched together through the engine (--maxWait "
+                        "bounds the latency a lone request pays; defaults "
+                        "to 0.05 s in this mode). --inDir is not needed")
+    p.add_argument("--httpHost", default="127.0.0.1",
+                   help="bind address for --http (default loopback)")
     p.add_argument("--dataShards", type=int, default=0,
                    help="shard batches over this many devices (mesh 'data' "
                         "axis; 0 = no mesh, single device)")
@@ -71,19 +81,29 @@ def main(argv=None):
 
     enable_compile_cache()
 
-    names = sorted(
-        f for f in os.listdir(opt.inDir) if f.lower().endswith(EXTS)
-    )
-    if not names:
-        raise SystemExit(f"no images ({'/'.join(EXTS)}) in {opt.inDir}")
-    os.makedirs(opt.outDir, exist_ok=True)
+    if opt.http:
+        if opt.artifact:
+            raise SystemExit(
+                "--http serves the live engine; AOT artifacts have no "
+                "streaming path (drop --artifact or --http)"
+            )
+    else:
+        if not opt.inDir:
+            raise SystemExit("--inDir is required (or pass --http PORT)")
+        names = sorted(
+            f for f in os.listdir(opt.inDir) if f.lower().endswith(EXTS)
+        )
+        if not names:
+            raise SystemExit(f"no images ({'/'.join(EXTS)}) in {opt.inDir}")
+        os.makedirs(opt.outDir, exist_ok=True)
 
-    # stem.png unless two inputs share a stem (a.jpg + a.png) — then keep
-    # the full name so nothing is silently overwritten
-    stems = [os.path.splitext(n)[0] for n in names]
-    out_names = [
-        (s if stems.count(s) == 1 else n) + ".png" for s, n in zip(stems, names)
-    ]
+        # stem.png unless two inputs share a stem (a.jpg + a.png) — then keep
+        # the full name so nothing is silently overwritten
+        stems = [os.path.splitext(n)[0] for n in names]
+        out_names = [
+            (s if stems.count(s) == 1 else n) + ".png"
+            for s, n in zip(stems, names)
+        ]
 
     if opt.artifact:
         from fdgan_tpu.io.export import ArtifactRunner
@@ -156,6 +176,19 @@ def main(argv=None):
         mesh=mesh,
         spatial=opt.spatialShards > 1,
     )
+
+    if opt.http:
+        from fdgan_tpu.serve_http import make_server, serve_forever
+
+        server = make_server(
+            engine,
+            host=opt.httpHost,
+            port=opt.http,
+            max_wait=opt.maxWait if opt.maxWait > 0 else 0.05,
+            depth=opt.depth,
+        )
+        serve_forever(server)
+        return
 
     def load_all():
         for name in names:

@@ -96,7 +96,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="save a checkpoint every N epochs (a final one is "
                         "always written). On this platform a save fetches "
                         "the full G+D+opt state over a ~4 MB/s tunnel, so "
-                        "small-epoch runs should raise this")
+                        "small-epoch runs should raise this. Device-resident "
+                        "runs overlap that fetch with the next training "
+                        "chunk (io/checkpoint.AsyncCheckpointer) unless "
+                        "--noAsyncCkpt")
+    p.add_argument("--noAsyncCkpt", action="store_true",
+                   help="block training during checkpoint saves instead of "
+                        "writing them from a background thread (device-"
+                        "resident path only; the on-device snapshot an async "
+                        "save takes briefly doubles the state's HBM footprint)")
     p.add_argument("--deviceSteps", type=int, default=0,
                    help="device-resident training: upload the WHOLE dataset "
                         "to HBM once and run this many train steps per "
@@ -440,6 +448,13 @@ def main(argv=None):
             [host_rng.permutation(nb) for _ in range(opt.epochs + K // nb + 1)]
         ).astype(np.int32)
         data_rng = jax.random.PRNGKey(opt.seed + 3)
+        if opt.noAsyncCkpt:
+            ckpt_saver = None
+        else:
+            from fdgan_tpu.io.checkpoint import AsyncCheckpointer
+
+            ckpt_saver = AsyncCheckpointer()
+        last_saved_step = -1
         for c in range(n_chunks):
             before = int(state.step)
             t_chunk = time.time()
@@ -476,13 +491,29 @@ def main(argv=None):
                 # a save fetches the whole state over the tunnel — honor
                 # --ckptEvery (counted in epochs; final save always happens)
                 if (after // nb) % max(opt.ckptEvery, 1) == 0:
-                    save_checkpoint(opt.exp, state, step=after)
+                    t_save = time.time()
+                    if ckpt_saver is not None:
+                        # snapshot on device now; fetch + write overlap the
+                        # next chunk's scan instead of stalling for it
+                        ckpt_saver.save(opt.exp, state, step=after)
+                        print(f"ckpt step {after}: snapshot queued in "
+                              f"{time.time() - t_save:.1f}s (background write)")
+                    else:
+                        save_checkpoint(opt.exp, state, step=after)
+                        print(f"ckpt step {after}: saved in "
+                              f"{time.time() - t_save:.1f}s (blocking)")
+                    last_saved_step = after
                 print(
                     f"epoch {min(after // nb, opt.epochs) - 1} done "
                     f"({K * opt.batchSize / wall:.1f} img/s device-resident); "
                     f"avg g_loss {meter.avg:.4f}"
                 )
-        save_checkpoint(opt.exp, state, step=int(state.step))
+        if ckpt_saver is not None:
+            ckpt_saver.wait()  # surface any writer error before the final save
+        if last_saved_step != int(state.step):
+            # (an epoch-boundary save of this exact step already landed —
+            # don't pay the ~200 MB tunnel fetch twice for the same state)
+            save_checkpoint(opt.exp, state, step=int(state.step))
         save_best()
         if opt.keepBest:
             import atexit

@@ -1,0 +1,249 @@
+"""HTTP serving front-end over :class:`fdgan_tpu.serve.InferenceEngine`.
+
+The engine's docstring positions it as "a library engine that a server
+wraps" — this module is that server, dependency-free (stdlib
+``http.server``), with **cross-request batching**: concurrent ``POST``\\ s
+land in one shared staging queue, and a single dispatcher thread feeds
+them through ``InferenceEngine.stream(max_wait=...)`` so simultaneous
+requests ride the batch ladder together (batched dispatch is what fills
+the MXU — a lone 512² image leaves the 32-channel dense convs starved,
+PERFORMANCE.md), while ``max_wait`` bounds the latency a lone request
+pays for batching. The dispatcher iterates the stream continuously, so
+the ``max_wait`` bound genuinely holds (the consumer-must-iterate caveat
+from ``serve.py`` is satisfied by construction).
+
+Endpoints
+---------
+``POST /dehaze``   body = encoded image (PNG/JPEG/BMP — anything PIL
+                   reads); response = dehazed PNG, min/max-normalised
+                   like the reference's output path (demo.py:151).
+                   ``?raw=1`` responds with little-endian fp32 HWC bytes
+                   in [-1, 1] instead (shape in ``X-Image-Shape``) for
+                   clients that want the un-normalised model output.
+``GET /healthz``   liveness + device info.
+``GET /stats``     engine counters (images, batches, compiles,
+                   padding overhead) + queue depth.
+
+Reference counterpart: none — ``demo.py:89-151`` is an offline loop over
+an h5 file. This is framework capability the TPU rebuild adds on top of
+the reference's surface.
+"""
+
+from __future__ import annotations
+
+import collections
+import io
+import json
+import queue
+import threading
+from concurrent.futures import Future
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+import numpy as np
+
+__all__ = ["BatchingFrontend", "make_server", "serve_forever"]
+
+
+class BatchingFrontend:
+    """Funnel concurrent ``submit()`` calls into one ``engine.stream()``.
+
+    A single daemon dispatcher owns the stream; callers get a
+    :class:`concurrent.futures.Future` resolved with the dehazed HWC fp32
+    array. Because ``stream()`` yields strictly in input order, futures
+    are matched FIFO — no per-item bookkeeping crosses the thread
+    boundary beyond the queue itself.
+    """
+
+    def __init__(self, engine, *, max_wait: float = 0.05, depth: int = 4):
+        if max_wait <= 0:
+            # without a staging deadline a lone request would wait forever
+            # for a full ladder rung — meaningless for an online server
+            raise ValueError("BatchingFrontend requires max_wait > 0")
+        self._engine = engine
+        self._max_wait = float(max_wait)
+        self._depth = int(depth)
+        self._q: queue.Queue = queue.Queue()
+        self._futs: collections.deque = collections.deque()
+        self._stop = object()
+        self._closed = False
+        self._error: Optional[BaseException] = None
+        self._thread = threading.Thread(
+            target=self._run, name="fdgan-dispatch", daemon=True
+        )
+        self._thread.start()
+
+    def _gen(self):
+        while True:
+            item = self._q.get()
+            if item is self._stop:
+                return
+            img, fut = item
+            self._futs.append(fut)
+            yield img
+
+    def _run(self):
+        try:
+            results = self._engine.stream(
+                self._gen(), depth=self._depth, max_wait=self._max_wait
+            )
+            for y in results:
+                self._futs.popleft().set_result(y)
+        except BaseException as e:  # pragma: no cover - defensive
+            self._error = e
+            while self._futs:
+                self._futs.popleft().set_exception(e)
+
+    def submit(self, image: np.ndarray) -> Future:
+        """Enqueue one HWC [0,1] image; the Future resolves to fp32 HWC.
+
+        Validation happens HERE (not in the stream) so one malformed
+        request cannot poison the shared dispatcher."""
+        if self._error is not None:
+            raise RuntimeError("serving dispatcher died") from self._error
+        if self._closed:
+            raise RuntimeError("frontend is closed")
+        img = np.asarray(image, np.float32)
+        if img.ndim != 3 or img.shape[-1] != 3:
+            raise ValueError(f"expected HWC RGB image, got shape {img.shape}")
+        fut: Future = Future()
+        self._q.put((img, fut))
+        return fut
+
+    @property
+    def queue_depth(self) -> int:
+        return self._q.qsize() + len(self._futs)
+
+    def close(self, timeout: float = 60.0) -> None:
+        """Drain in-flight work and stop the dispatcher (idempotent)."""
+        if not self._closed:
+            self._closed = True
+            self._q.put(self._stop)
+        self._thread.join(timeout=timeout)
+
+
+def _decode_request_image(body: bytes) -> np.ndarray:
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(body)).convert("RGB")
+    return np.asarray(img, np.float32) / 255.0
+
+
+def _encode_png(arr: np.ndarray) -> bytes:
+    from PIL import Image
+
+    from fdgan_tpu.utils.images import normalize_to_uint8
+
+    buf = io.BytesIO()
+    Image.fromarray(normalize_to_uint8(arr)).save(buf, format="PNG")
+    return buf.getvalue()
+
+
+def make_server(
+    engine,
+    host: str = "127.0.0.1",
+    port: int = 0,
+    *,
+    max_wait: float = 0.05,
+    depth: int = 4,
+    request_timeout: float = 300.0,
+) -> ThreadingHTTPServer:
+    """Build (but don't start) the HTTP server wrapping ``engine``.
+
+    ``port=0`` binds an ephemeral port (read it back from
+    ``server.server_address[1]``). The returned server carries its
+    :class:`BatchingFrontend` as ``server.frontend``; ``server.shutdown()``
+    followed by ``server.frontend.close()`` is the clean stop sequence
+    (``serve_forever`` below does both on KeyboardInterrupt)."""
+    frontend = BatchingFrontend(engine, max_wait=max_wait, depth=depth)
+
+    class Handler(BaseHTTPRequestHandler):
+        # one TCP connection per request is fine for an inference API;
+        # keep-alive would pin ThreadingHTTPServer threads on idle clients
+        protocol_version = "HTTP/1.0"
+
+        def log_message(self, fmt, *args):  # quiet by default
+            pass
+
+        def _json(self, code: int, payload: dict) -> None:
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                import jax
+
+                self._json(
+                    200,
+                    {
+                        "ok": True,
+                        "devices": [str(d) for d in jax.devices()],
+                        "bn_mode": engine.bn_mode,
+                        "bucket": engine.bucket,
+                        "batch_sizes": list(engine.batch_sizes),
+                    },
+                )
+            elif self.path == "/stats":
+                with engine._lock:
+                    stats = dict(engine.stats)
+                stats["queue_depth"] = frontend.queue_depth
+                self._json(200, stats)
+            else:
+                self._json(404, {"error": f"unknown path {self.path}"})
+
+        def do_POST(self):
+            path, _, query = self.path.partition("?")
+            if path != "/dehaze":
+                self._json(404, {"error": f"unknown path {path}"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                if n <= 0:
+                    raise ValueError("empty body")
+                body = self.rfile.read(n)
+                img = _decode_request_image(body)
+                fut = frontend.submit(img)
+            except Exception as e:
+                self._json(400, {"error": f"bad image: {e}"})
+                return
+            try:
+                out = fut.result(timeout=request_timeout)
+            except Exception as e:
+                self._json(500, {"error": f"inference failed: {e}"})
+                return
+            if "raw=1" in query:
+                payload = np.ascontiguousarray(out, "<f4").tobytes()
+                ctype = "application/octet-stream"
+                shape = "x".join(map(str, out.shape))
+            else:
+                payload = _encode_png(out)
+                ctype = "image/png"
+                shape = "x".join(map(str, out.shape))
+            self.send_response(200)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(payload)))
+            self.send_header("X-Image-Shape", shape)
+            self.end_headers()
+            self.wfile.write(payload)
+
+    server = ThreadingHTTPServer((host, port), Handler)
+    server.daemon_threads = True
+    server.frontend = frontend  # type: ignore[attr-defined]
+    return server
+
+
+def serve_forever(server: ThreadingHTTPServer) -> None:
+    """Run until interrupted, then drain the batching frontend cleanly."""
+    host, port = server.server_address[:2]
+    print(f"serving on http://{host}:{port}  (POST /dehaze, GET /healthz, /stats)")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.shutdown()
+        server.frontend.close()  # type: ignore[attr-defined]

@@ -36,6 +36,16 @@ def load_rgb_image(
     return np.asarray(img, np.float32)
 
 
+def normalize_to_uint8(arr: np.ndarray) -> np.ndarray:
+    """Min/max-normalise an HWC float tensor to 8-bit — the reference's
+    ``vutils.save_image(..., normalize=True, scale_each=False)`` output
+    protocol (demo.py:151), shared by the PNG writers and the HTTP encoder."""
+    a = np.asarray(arr, np.float32)
+    lo, hi = float(a.min()), float(a.max())
+    a = (a - lo) / max(hi - lo, 1e-5)
+    return (a * 255.0 + 0.5).clip(0, 255).astype(np.uint8)
+
+
 def save_rgb_image(arr: np.ndarray, filename: str) -> None:
     """HWC [0,255] → 8-bit PNG (reference `tensor_save_rgbimage`, :27-34)."""
     from PIL import Image

@@ -119,3 +119,51 @@ def test_train_state_checkpoint_roundtrip(tmp_path):
         np.asarray(state.g_params["conv_refin1"]["kernel"]),
         np.asarray(restored.g_params["conv_refin1"]["kernel"]),
     )
+
+
+def test_async_checkpointer_survives_donation(tmp_path):
+    """AsyncCheckpointer must capture the state AT save() time: its
+    on-device snapshot has to survive the live buffers being donated into
+    the next dispatch (make_device_loop donates its carry) and mutated
+    before the background writer fetches them."""
+    from functools import partial
+
+    from fdgan_tpu.io.checkpoint import AsyncCheckpointer
+
+    tree = {"w": jnp.arange(4096.0), "b": jnp.ones((8, 8))}
+    want = jax.device_get(tree)
+
+    saver = AsyncCheckpointer()
+    path = str(tmp_path / "ckpt.msgpack")
+    saver.save(path, tree)
+
+    # donate + overwrite the ORIGINAL buffers immediately, as the train
+    # loop does when it dispatches the next chunk
+    mutate = jax.jit(
+        partial(jax.tree.map, lambda x: x * 0.0 - 7.0), donate_argnums=(0,)
+    )
+    tree = mutate(tree)
+    jax.block_until_ready(tree)
+
+    saver.wait()
+    got = load_checkpoint(path, want)
+    for k in want:
+        np.testing.assert_array_equal(got[k], want[k])
+
+
+def test_async_checkpointer_serialises_saves_and_raises(tmp_path):
+    """Back-to-back saves do not interleave (one writer in flight; the last
+    write wins), and a writer failure surfaces on the next wait()."""
+    from fdgan_tpu.io.checkpoint import AsyncCheckpointer
+
+    saver = AsyncCheckpointer()
+    path = str(tmp_path / "ckpt.msgpack")
+    for v in (1.0, 2.0, 3.0):
+        saver.save(path, {"x": jnp.full((16,), v)})
+    saver.wait()
+    got = load_checkpoint(path, {"x": np.zeros(16, np.float32)})
+    np.testing.assert_array_equal(got["x"], np.full((16,), 3.0, np.float32))
+
+    saver.save(str(tmp_path / "no_such_dir" / "x" / "ckpt.msgpack"), {"x": jnp.ones(4)})
+    with pytest.raises(OSError):
+        saver.wait()

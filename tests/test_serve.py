@@ -349,3 +349,139 @@ def test_concurrent_predict_and_stream(engine, np_rng):
     # stats are guarded by the engine lock: no lost updates
     total = len(imgs_a) + len(imgs_b) + len(imgs_s)
     assert engine.stats["images"] == before_images + total
+
+
+# --- HTTP front-end (serve_http.py) ----------------------------------------
+
+
+@pytest.fixture(scope="module")
+def http_server(engine):
+    from fdgan_tpu.serve_http import make_server
+
+    server = make_server(engine, port=0, max_wait=0.05, depth=2)
+    t = __import__("threading").Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    yield server
+    server.shutdown()
+    server.frontend.close()
+
+
+def _post(server, path, body, headers=None):
+    import http.client
+
+    host, port = server.server_address[:2]
+    conn = http.client.HTTPConnection(host, port, timeout=300)
+    conn.request("POST", path, body=body, headers=headers or {})
+    resp = conn.getresponse()
+    data = resp.read()
+    conn.close()
+    return resp.status, dict(resp.getheaders()), data
+
+
+def _get(server, path):
+    import http.client
+    import json
+
+    host, port = server.server_address[:2]
+    conn = http.client.HTTPConnection(host, port, timeout=60)
+    conn.request("GET", path)
+    resp = conn.getresponse()
+    data = resp.read()
+    conn.close()
+    return resp.status, json.loads(data)
+
+
+def _png_bytes(img_01):
+    import io
+
+    from PIL import Image
+
+    u8 = (np.asarray(img_01) * 255.0 + 0.5).clip(0, 255).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(u8).save(buf, format="PNG")
+    return buf.getvalue()
+
+
+def test_http_dehaze_roundtrip(engine, http_server, np_rng):
+    """POST an encoded image → dehazed PNG with the demo.py:151 normalize
+    protocol; the raw=1 variant returns the exact fp32 model output."""
+    import io
+
+    from PIL import Image
+
+    from fdgan_tpu.utils.images import normalize_to_uint8
+
+    img_u8 = (np_rng.uniform(size=(32, 48, 3)) * 255).astype(np.uint8)
+    img_01 = img_u8.astype(np.float32) / 255.0  # what the server decodes
+    want = _direct(engine, img_01)
+
+    # raw path: exact fp32 equality with the engine's own compiled forward
+    status, headers, data = _post(http_server, "/dehaze?raw=1", _png_bytes(img_01))
+    assert status == 200, data
+    assert headers["X-Image-Shape"] == "32x48x3"
+    got = np.frombuffer(data, "<f4").reshape(32, 48, 3)
+    np.testing.assert_allclose(got, want, rtol=0, atol=0)
+
+    # png path: normalized 8-bit like the folder CLI writes
+    status, headers, data = _post(http_server, "/dehaze", _png_bytes(img_01))
+    assert status == 200
+    assert headers["Content-Type"] == "image/png"
+    got_png = np.asarray(Image.open(io.BytesIO(data)))
+    np.testing.assert_array_equal(got_png, normalize_to_uint8(want))
+
+
+def test_http_health_stats_and_errors(engine, http_server):
+    status, payload = _get(http_server, "/healthz")
+    assert status == 200 and payload["ok"] is True
+    assert payload["batch_sizes"] == list(engine.batch_sizes)
+
+    status, payload = _get(http_server, "/stats")
+    assert status == 200
+    for key in ("images", "batches", "compiles", "queue_depth"):
+        assert key in payload
+
+    status, payload = _get(http_server, "/nope")
+    assert status == 404
+
+    status, _, data = _post(http_server, "/dehaze", b"this is not an image")
+    assert status == 400, data
+    status, _, data = _post(http_server, "/dehaze", b"")
+    assert status == 400
+
+
+def test_http_concurrent_requests_batched(engine, http_server, np_rng):
+    """Concurrent POSTs must all come back correct — and since they funnel
+    through one BatchingFrontend stream, the shared stats stay exact."""
+    import threading
+
+    imgs = [np_rng.uniform(size=(32, 48, 3)).astype(np.float32) for _ in range(6)]
+    want = [_direct(engine, i) for i in imgs]
+    with engine._lock:
+        before = engine.stats["images"]
+
+    results: dict = {}
+
+    def post_one(i):
+        status, _, data = _post(
+            http_server, "/dehaze?raw=1", _png_bytes(imgs[i])
+        )
+        results[i] = (status, data)
+
+    threads = [threading.Thread(target=post_one, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert not any(t.is_alive() for t in threads)
+
+    for i in range(6):
+        status, data = results[i]
+        assert status == 200
+        got = np.frombuffer(data, "<f4").reshape(32, 48, 3)
+        # PNG round-trips the request at 8-bit, so compare against the
+        # engine run on the quantised input
+        q = np.round(imgs[i] * 255.0).clip(0, 255) / 255.0
+        np.testing.assert_allclose(got, _direct(engine, q.astype(np.float32)),
+                                   rtol=0, atol=0)
+    with engine._lock:
+        assert engine.stats["images"] == before + 6
