@@ -146,12 +146,16 @@ def make_server(
     *,
     max_wait: float = 0.05,
     depth: int = 4,
-    request_timeout: float = 300.0,
+    request_timeout: float = 900.0,
 ) -> ThreadingHTTPServer:
     """Build (but don't start) the HTTP server wrapping ``engine``.
 
     ``port=0`` binds an ephemeral port (read it back from
-    ``server.server_address[1]``). The returned server carries its
+    ``server.server_address[1]``). ``request_timeout`` must cover a cold
+    XLA compile of a new shape bucket (measured 3-10 min over this
+    environment's remote-compile tunnel — warm requests are ~0.4 s); call
+    ``engine.warmup()`` first to take compiles off the request path.
+    The returned server carries its
     :class:`BatchingFrontend` as ``server.frontend``; ``server.shutdown()``
     followed by ``server.frontend.close()`` is the clean stop sequence
     (``serve_forever`` below does both on KeyboardInterrupt)."""

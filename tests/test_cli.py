@@ -155,3 +155,16 @@ def test_serve_cli_from_artifact(image_dirs, tmp_path):
     assert outs == ["0.png", "1.png"]
     img = np.asarray(Image.open(os.path.join(out, "0.png")))
     assert img.shape == (32, 32, 3)
+
+
+def test_serve_http_flag_validation(tmp_path):
+    """--http excludes --artifact, and the folder mode still requires
+    --inDir (fast: both exits fire before any model work)."""
+    import pytest as _pytest
+
+    from fdgan_tpu.cli import serve as serve_cli
+
+    with _pytest.raises(SystemExit, match="artifact"):
+        serve_cli.main(["--http", "8080", "--artifact", "x.shlo"])
+    with _pytest.raises(SystemExit, match="inDir"):
+        serve_cli.main([])

@@ -1,0 +1,146 @@
+"""Measure the HTTP serving front-end end-to-end: concurrent clients POSTing
+encoded images against `serve_http.make_server`, cross-request batching on.
+
+Why this is the right end-to-end serving measurement HERE: the folder/stream
+path fetches raw fp32 results (~25 MB per 512² batch-8) over this
+environment's ~4 MB/s tunnel, so `tools/bench_serve.py` reads ~1 img/s of
+pure tunnel I/O. The HTTP path moves COMPRESSED images both ways (~100-200 KB
+each), so the tunnel tax shrinks ~100x and the measurement reflects the
+serving stack (decode -> batch -> TPU forward -> encode) rather than raw-link
+bandwidth. On one host core, PIL decode+encode (~40-60 ms/img) is the next
+ceiling after the device; both are reported.
+
+Usage:
+    PYTHONPATH=/root/repo:$PYTHONPATH python tools/bench_http.py \
+        --netG /tmp/exp/netG_best.msgpack --threads 8 --n 64 \
+        [--images /root/reference/testsample1 --maxWait 0.05]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import io
+import os
+import statistics
+import threading
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--netG", default="", help="generator ckpt (random init if empty)")
+    ap.add_argument("--images", default="/root/reference/testsample1",
+                    help="folder of images to cycle through")
+    ap.add_argument("--n", type=int, default=64, help="total requests")
+    ap.add_argument("--threads", type=int, default=8, help="concurrent clients")
+    ap.add_argument("--maxWait", type=float, default=0.05)
+    ap.add_argument("--depth", type=int, default=4)
+    ap.add_argument("--precision", default="bf16")
+    ap.add_argument("--raw", action="store_true",
+                    help="request ?raw=1 fp32 payloads instead of PNGs")
+    opt = ap.parse_args()
+
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+
+    from fdgan_tpu.serve import InferenceEngine
+    from fdgan_tpu.serve_http import make_server
+
+    if opt.netG:
+        from fdgan_tpu.cli._common import load_generator_params
+
+        params = load_generator_params(opt.netG)
+    else:
+        from fdgan_tpu.models import fdgan
+
+        print("random-init weights (mechanism bench)")
+        params = fdgan.init(jax.random.PRNGKey(0))
+
+    engine = InferenceEngine(params, precision=opt.precision, bn_mode="running")
+    server = make_server(engine, port=0, max_wait=opt.maxWait, depth=opt.depth)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    host, port = server.server_address[:2]
+
+    paths = sorted(
+        p for p in glob.glob(os.path.join(opt.images, "*"))
+        if p.lower().endswith((".png", ".jpg", ".jpeg", ".bmp"))
+    )
+    if not paths:
+        raise SystemExit(f"no images in {opt.images}")
+    bodies = [open(p, "rb").read() for p in paths]
+    print(f"{len(bodies)} distinct images from {opt.images}; "
+          f"{opt.n} requests x {opt.threads} threads -> :{port}")
+
+    import http.client
+
+    route = "/dehaze?raw=1" if opt.raw else "/dehaze"
+
+    def post(i: int) -> float:
+        t0 = time.monotonic()
+        conn = http.client.HTTPConnection(host, port, timeout=600)
+        conn.request("POST", route, body=bodies[i % len(bodies)])
+        resp = conn.getresponse()
+        data = resp.read()
+        conn.close()
+        assert resp.status == 200, (resp.status, data[:200])
+        assert len(data) > 1000
+        return time.monotonic() - t0
+
+    # warmup: one request per distinct shape, serial (compiles cached after)
+    t0 = time.monotonic()
+    for i in range(len(bodies)):
+        post(i)
+    print(f"warmup ({len(bodies)} serial requests incl. any compiles): "
+          f"{time.monotonic() - t0:.1f}s")
+
+    lat: list = []
+    err: list = []
+    lock = threading.Lock()
+    it = iter(range(opt.n))
+
+    def worker():
+        while True:
+            with lock:
+                i = next(it, None)
+            if i is None:
+                return
+            try:
+                dt = post(i)
+            except Exception as e:  # pragma: no cover
+                err.append(e)
+                return
+            with lock:
+                lat.append(dt)
+
+    t0 = time.monotonic()
+    threads = [threading.Thread(target=worker) for _ in range(opt.threads)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.monotonic() - t0
+    if err:
+        raise SystemExit(f"client errors: {err[:3]}")
+
+    lat.sort()
+    stats = dict(engine.stats)
+    print(
+        f"{opt.n} requests in {wall:.2f}s -> {opt.n / wall:.2f} img/s | "
+        f"latency p50 {statistics.median(lat)*1e3:.0f} ms "
+        f"p90 {lat[int(0.9 * (len(lat) - 1))]*1e3:.0f} ms "
+        f"max {lat[-1]*1e3:.0f} ms"
+    )
+    print(
+        f"engine: {stats['images']} images in {stats['batches']} batches "
+        f"(mean batch {stats['images'] / max(stats['batches'], 1):.2f}), "
+        f"{stats['compiles']} compiles, padding {stats['padded_frac']:.1%}"
+    )
+    server.shutdown()
+    server.frontend.close()
+
+
+if __name__ == "__main__":
+    main()
