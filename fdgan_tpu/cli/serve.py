@@ -59,6 +59,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "to 0.05 s in this mode). --inDir is not needed")
     p.add_argument("--httpHost", default="127.0.0.1",
                    help="bind address for --http (default loopback)")
+    p.add_argument("--outputDtype", choices=["float32", "uint8"],
+                   default="float32",
+                   help="uint8 quantises results on device (round((y+1)*"
+                        "127.5)): a 4x smaller device->host fetch — the "
+                        "serving ceiling on constrained links — at a <=1/255 "
+                        "per-pixel cost before the PNG write (which needs "
+                        "uint8 anyway). float32 keeps the full-precision "
+                        "output path")
     p.add_argument("--dataShards", type=int, default=0,
                    help="shard batches over this many devices (mesh 'data' "
                         "axis; 0 = no mesh, single device)")
@@ -175,6 +183,7 @@ def main(argv=None):
         halo=opt.halo,
         mesh=mesh,
         spatial=opt.spatialShards > 1,
+        output=opt.outputDtype,
     )
 
     if opt.http:

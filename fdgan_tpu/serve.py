@@ -75,6 +75,10 @@ class InferenceEngine:
         H dimension across it — GSPMD inserts the conv halo exchanges
         (parity-tested in tests/test_dist.py). This is the latency lever for
         few large images, complementing the batch ('data') throughput lever.
+    output : 'float32' (default — results in [-1, 1]) or 'uint8' (results
+        quantised on device to ``round((y+1)*127.5)`` in [0, 255]): a 4×
+        smaller device→host fetch for PNG-oriented serving, lossy by
+        ≤1/255 per pixel (see ``_forward``).
     """
 
     def __init__(
@@ -89,7 +93,10 @@ class InferenceEngine:
         halo: int = 128,
         mesh=None,
         spatial: bool = False,
+        output: str = "float32",
     ):
+        if output not in ("float32", "uint8"):
+            raise ValueError(f"output must be 'float32' or 'uint8', got {output!r}")
         if bucket is None:
             bucket = 8 if bn_mode == "batch" else 64
         if bucket % 8:
@@ -112,6 +119,7 @@ class InferenceEngine:
         self.tile = int(tile)
         self.halo = int(halo)
         self.mesh = mesh
+        self.output = output
         self._dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
         cast = cast_tree(params, self._dtype) if precision == "bf16" else params
         if mesh is not None:
@@ -149,6 +157,18 @@ class InferenceEngine:
 
     def _forward(self, p, x):
         y = fdgan_fast.apply(p, x.astype(self._dtype), bn_mode=self.bn_mode)
+        if self.output == "uint8":
+            # Quantise the tanh output ON DEVICE: the fetch then moves 1
+            # byte/pixel instead of 4 — PNG writers need uint8 anyway, and
+            # device→host bandwidth is the serving ceiling on constrained
+            # links (~4 MB/s tunnel here; PERFORMANCE.md). The affine runs
+            # in fp32 (bf16's 8-bit mantissa would itself cost ~1 level),
+            # XLA fuses it into the last layer. Lossy by ≤1/255 vs the
+            # fp32 path — opt-in, never the library default.
+            y32 = y.astype(jnp.float32)
+            return jnp.clip(jnp.round((y32 + 1.0) * 127.5), 0.0, 255.0).astype(
+                jnp.uint8
+            )
         return y.astype(jnp.float32)
 
     # --- shape management ----------------------------------------------------
@@ -214,7 +234,8 @@ class InferenceEngine:
         return y
 
     def predict(self, image: np.ndarray) -> np.ndarray:
-        """Dehaze one HWC image in [0, 1]; returns HWC fp32, same shape."""
+        """Dehaze one HWC image in [0, 1]; returns HWC fp32 in [-1, 1]
+        (or uint8 in [0, 255] for an ``output='uint8'`` engine)."""
         return self.predict_batch([image])[0]
 
     def predict_batch(self, images: Sequence[np.ndarray]) -> List[np.ndarray]:

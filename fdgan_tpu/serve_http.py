@@ -17,8 +17,10 @@ Endpoints
 ``POST /dehaze``   body = encoded image (PNG/JPEG/BMP — anything PIL
                    reads); response = dehazed PNG, min/max-normalised
                    like the reference's output path (demo.py:151).
-                   ``?raw=1`` responds with little-endian fp32 HWC bytes
-                   in [-1, 1] instead (shape in ``X-Image-Shape``) for
+                   ``?raw=1`` responds with the engine's native HWC bytes
+                   instead — little-endian fp32 in [-1, 1], or uint8 in
+                   [0, 255] for an ``output='uint8'`` engine (shape in
+                   ``X-Image-Shape``, dtype in ``X-Image-Dtype``) — for
                    clients that want the un-normalised model output.
 ``GET /healthz``   liveness + device info.
 ``GET /stats``     engine counters (images, batches, compiles,
@@ -49,8 +51,9 @@ class BatchingFrontend:
     """Funnel concurrent ``submit()`` calls into one ``engine.stream()``.
 
     A single daemon dispatcher owns the stream; callers get a
-    :class:`concurrent.futures.Future` resolved with the dehazed HWC fp32
-    array. Because ``stream()`` yields strictly in input order, futures
+    :class:`concurrent.futures.Future` resolved with the dehazed HWC array
+    (engine output dtype). Because ``stream()`` yields strictly in input
+    order, futures
     are matched FIFO — no per-item bookkeeping crosses the thread
     boundary beyond the queue itself.
     """
@@ -95,7 +98,8 @@ class BatchingFrontend:
                 self._futs.popleft().set_exception(e)
 
     def submit(self, image: np.ndarray) -> Future:
-        """Enqueue one HWC [0,1] image; the Future resolves to fp32 HWC.
+        """Enqueue one HWC [0,1] image; the Future resolves to an HWC array
+        in the engine's output dtype (fp32 [-1,1] or uint8 [0,255]).
 
         Validation happens HERE (not in the stream) so one malformed
         request cannot poison the shared dispatcher."""
@@ -219,18 +223,23 @@ def make_server(
             except Exception as e:
                 self._json(500, {"error": f"inference failed: {e}"})
                 return
+            shape = "x".join(map(str, out.shape))
             if "raw=1" in query:
-                payload = np.ascontiguousarray(out, "<f4").tobytes()
+                # native engine dtype: <f4 in [-1,1], or u1 in [0,255] for
+                # an output='uint8' engine (X-Image-Dtype disambiguates)
+                dt = "u1" if out.dtype == np.uint8 else "<f4"
+                payload = np.ascontiguousarray(out, dt).tobytes()
                 ctype = "application/octet-stream"
-                shape = "x".join(map(str, out.shape))
             else:
                 payload = _encode_png(out)
                 ctype = "image/png"
-                shape = "x".join(map(str, out.shape))
             self.send_response(200)
             self.send_header("Content-Type", ctype)
             self.send_header("Content-Length", str(len(payload)))
             self.send_header("X-Image-Shape", shape)
+            self.send_header(
+                "X-Image-Dtype", "uint8" if out.dtype == np.uint8 else "float32"
+            )
             self.end_headers()
             self.wfile.write(payload)
 

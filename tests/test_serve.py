@@ -485,3 +485,77 @@ def test_http_concurrent_requests_batched(engine, http_server, np_rng):
                                    rtol=0, atol=0)
     with engine._lock:
         assert engine.stats["images"] == before + 6
+
+
+# --- on-device uint8 output mode --------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def engine_u8():
+    """Same weights as `engine`, output='uint8' (one extra compile)."""
+    import jax
+
+    params = fdgan.init(jax.random.PRNGKey(0))
+    return InferenceEngine(
+        params,
+        precision="fp32",
+        bn_mode="running",
+        bucket=64,
+        batch_sizes=(1, 2),
+        output="uint8",
+    )
+
+
+def test_output_arg_validation():
+    with pytest.raises(ValueError, match="output"):
+        InferenceEngine({}, output="float16")
+
+
+def test_uint8_output_matches_quantized_float(engine, engine_u8, np_rng):
+    """The on-device quantization must equal host-side quantization of the
+    float path: exact up to XLA refusing the last-ulp (tolerance 1 level)."""
+    img = np_rng.uniform(size=(32, 48, 3)).astype(np.float32)
+    got = engine_u8.predict(img)
+    assert got.dtype == np.uint8 and got.shape == (32, 48, 3)
+    want = np.clip(np.round((engine.predict(img) + 1.0) * 127.5), 0, 255).astype(
+        np.uint8
+    )
+    diff = np.abs(got.astype(np.int16) - want.astype(np.int16))
+    assert diff.max() <= 1
+    assert (diff == 0).mean() > 0.99
+
+
+def test_http_uint8_engine(engine, engine_u8, np_rng):
+    """An output='uint8' engine behind the HTTP server: raw=1 returns the
+    uint8 bytes (dtype header says so) and the PNG path still applies the
+    demo.py:151 min/max protocol — to the quantized values."""
+    import io
+    import threading
+
+    from PIL import Image
+
+    from fdgan_tpu.serve_http import make_server
+    from fdgan_tpu.utils.images import normalize_to_uint8
+
+    server = make_server(engine_u8, port=0, max_wait=0.05, depth=2)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        img_u8 = (np_rng.uniform(size=(32, 48, 3)) * 255).astype(np.uint8)
+        img = img_u8.astype(np.float32) / 255.0  # what the server decodes
+        want = engine_u8.predict(img)
+
+        status, headers, data = _post(server, "/dehaze?raw=1", _png_bytes(img))
+        assert status == 200, data
+        assert headers["X-Image-Dtype"] == "uint8"
+        assert headers["X-Image-Shape"] == "32x48x3"
+        got = np.frombuffer(data, np.uint8).reshape(32, 48, 3)
+        np.testing.assert_array_equal(got, want)
+
+        status, headers, data = _post(server, "/dehaze", _png_bytes(img))
+        assert status == 200
+        assert headers["Content-Type"] == "image/png"
+        got_png = np.asarray(Image.open(io.BytesIO(data)))
+        np.testing.assert_array_equal(got_png, normalize_to_uint8(want))
+    finally:
+        server.shutdown()
+        server.frontend.close()

@@ -37,8 +37,14 @@ def main():
     ap.add_argument("--maxWait", type=float, default=0.05)
     ap.add_argument("--depth", type=int, default=4)
     ap.add_argument("--precision", default="bf16")
+    ap.add_argument("--outputDtype", choices=["float32", "uint8"],
+                    default="uint8",
+                    help="engine output mode; uint8 quantises on device -> "
+                         "4x smaller result fetch (the serving-optimal "
+                         "config and this bench's default; float32 measures "
+                         "the full-precision path)")
     ap.add_argument("--raw", action="store_true",
-                    help="request ?raw=1 fp32 payloads instead of PNGs")
+                    help="request ?raw=1 native-dtype payloads instead of PNGs")
     opt = ap.parse_args()
 
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
@@ -59,7 +65,11 @@ def main():
         print("random-init weights (mechanism bench)")
         params = fdgan.init(jax.random.PRNGKey(0))
 
-    engine = InferenceEngine(params, precision=opt.precision, bn_mode="running")
+    engine = InferenceEngine(
+        params, precision=opt.precision, bn_mode="running",
+        output=opt.outputDtype,
+    )
+    print(f"engine output dtype: {opt.outputDtype}")
     server = make_server(engine, port=0, max_wait=opt.maxWait, depth=opt.depth)
     threading.Thread(target=server.serve_forever, daemon=True).start()
     host, port = server.server_address[:2]
