@@ -67,6 +67,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "per-pixel cost before the PNG write (which needs "
                         "uint8 anyway). float32 keeps the full-precision "
                         "output path")
+    p.add_argument("--inputDtype", choices=["float32", "uint8"],
+                   default="float32",
+                   help="uint8 stages inputs on device as raw bytes (the "
+                        "x/255 normalisation fuses into the forward): a 4x "
+                        "smaller host->device upload, bit-identical results "
+                        "for 8-bit sources (all PNG/JPEG inputs are). "
+                        "float32 uploads normalised floats")
     p.add_argument("--dataShards", type=int, default=0,
                    help="shard batches over this many devices (mesh 'data' "
                         "axis; 0 = no mesh, single device)")
@@ -184,6 +191,7 @@ def main(argv=None):
         mesh=mesh,
         spatial=opt.spatialShards > 1,
         output=opt.outputDtype,
+        input=opt.inputDtype,
     )
 
     if opt.http:
@@ -201,7 +209,10 @@ def main(argv=None):
 
     def load_all():
         for name in names:
-            yield load_rgb_image(os.path.join(opt.inDir, name)) / 255.0
+            img = load_rgb_image(os.path.join(opt.inDir, name))  # fp32 [0,255]
+            # uint8 engines take the decoder's bytes directly (exact — the
+            # values are integral); float engines take [0,1]
+            yield img.astype("uint8") if opt.inputDtype == "uint8" else img / 255.0
 
     t0 = time.time()
     results = engine.stream(load_all(), depth=opt.depth, max_wait=opt.maxWait)

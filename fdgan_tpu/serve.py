@@ -79,6 +79,15 @@ class InferenceEngine:
         quantised on device to ``round((y+1)*127.5)`` in [0, 255]): a 4×
         smaller device→host fetch for PNG-oriented serving, lossy by
         ≤1/255 per pixel (see ``_forward``).
+    input : 'float32' (default) or 'uint8' — the STAGING dtype: what
+        crosses host→device. 'uint8' uploads 1 byte/pixel and fuses the
+        ``x/255`` normalisation into the compiled forward, which is
+        bit-identical to the float path whenever the source really is
+        8-bit (PNG/JPEG decoders hand you uint8; dividing by 255 on host
+        vs device is the same fp32 op). Either mode ACCEPTS both uint8
+        [0, 255] and float [0, 1] images; a float image given to a
+        'uint8' engine is round-quantised on host first (lossy ≤1/510 —
+        the one combination that costs precision).
     """
 
     def __init__(
@@ -94,9 +103,12 @@ class InferenceEngine:
         mesh=None,
         spatial: bool = False,
         output: str = "float32",
+        input: str = "float32",
     ):
         if output not in ("float32", "uint8"):
             raise ValueError(f"output must be 'float32' or 'uint8', got {output!r}")
+        if input not in ("float32", "uint8"):
+            raise ValueError(f"input must be 'float32' or 'uint8', got {input!r}")
         if bucket is None:
             bucket = 8 if bn_mode == "batch" else 64
         if bucket % 8:
@@ -120,6 +132,8 @@ class InferenceEngine:
         self.halo = int(halo)
         self.mesh = mesh
         self.output = output
+        self.input = input
+        self._stage_dtype = np.uint8 if input == "uint8" else np.float32
         self._dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
         cast = cast_tree(params, self._dtype) if precision == "bf16" else params
         if mesh is not None:
@@ -156,6 +170,12 @@ class InferenceEngine:
     # --- compiled kernel ---------------------------------------------------
 
     def _forward(self, p, x):
+        if x.dtype == jnp.uint8:
+            # input='uint8' staging: normalise ON DEVICE, in fp32, exactly
+            # as the host path would (np fp32 x/255 then cast) — so the
+            # uint8-staged forward is bit-identical to the float-staged
+            # one for 8-bit sources, while the upload moves 1 byte/pixel.
+            x = x.astype(jnp.float32) / 255.0
         y = fdgan_fast.apply(p, x.astype(self._dtype), bn_mode=self.bn_mode)
         if self.output == "uint8":
             # Quantise the tanh output ON DEVICE: the fetch then moves 1
@@ -182,6 +202,19 @@ class InferenceEngine:
                 return b
         return self.batch_sizes[-1]
 
+    def _ingest(self, img) -> np.ndarray:
+        """Bring one caller image to the engine's staging dtype.
+
+        uint8 arrays always mean [0, 255], floats always mean [0, 1];
+        only the float→uint8 direction quantises (round, lossy ≤1/510)."""
+        a = np.asarray(img)
+        if a.dtype == np.uint8:
+            return a if self.input == "uint8" else a.astype(np.float32) / 255.0
+        if self.input == "uint8":
+            a = np.asarray(a, np.float32)
+            return np.clip(np.round(a * 255.0), 0.0, 255.0).astype(np.uint8)
+        return np.asarray(a, np.float32)
+
     @staticmethod
     def _pad_hw(img: np.ndarray, H: int, W: int) -> np.ndarray:
         ph, pw = H - img.shape[0], W - img.shape[1]
@@ -202,7 +235,7 @@ class InferenceEngine:
         for h, w in shapes:
             H, W = self._bucket_hw(h, w)
             b = self._batch_bucket(batch)
-            x = np.zeros((b, H, W, 3), np.float32)
+            x = np.zeros((b, H, W, 3), self._stage_dtype)
             if self._batch_sharding is not None:
                 x = jax.device_put(x, self._batch_sharding)
             else:
@@ -234,8 +267,9 @@ class InferenceEngine:
         return y
 
     def predict(self, image: np.ndarray) -> np.ndarray:
-        """Dehaze one HWC image in [0, 1]; returns HWC fp32 in [-1, 1]
-        (or uint8 in [0, 255] for an ``output='uint8'`` engine)."""
+        """Dehaze one HWC image — float in [0, 1] or uint8 in [0, 255];
+        returns HWC fp32 in [-1, 1] (or uint8 in [0, 255] for an
+        ``output='uint8'`` engine)."""
         return self.predict_batch([image])[0]
 
     def predict_batch(self, images: Sequence[np.ndarray]) -> List[np.ndarray]:
@@ -420,7 +454,7 @@ class InferenceEngine:
                 continue
             idle_ticks = 0
             idx, img = item
-            img = np.asarray(img, np.float32)
+            img = self._ingest(img)
             if img.ndim != 3 or img.shape[-1] != 3:
                 raise ValueError(f"expected HWC RGB image, got shape {img.shape}")
             if self.tile and max(img.shape[0], img.shape[1]) > self.tile:

@@ -98,8 +98,9 @@ class BatchingFrontend:
                 self._futs.popleft().set_exception(e)
 
     def submit(self, image: np.ndarray) -> Future:
-        """Enqueue one HWC [0,1] image; the Future resolves to an HWC array
-        in the engine's output dtype (fp32 [-1,1] or uint8 [0,255]).
+        """Enqueue one HWC image (float [0,1] or uint8 [0,255] — both are
+        valid for any engine); the Future resolves to an HWC array in the
+        engine's output dtype (fp32 [-1,1] or uint8 [0,255]).
 
         Validation happens HERE (not in the stream) so one malformed
         request cannot poison the shared dispatcher."""
@@ -107,7 +108,9 @@ class BatchingFrontend:
             raise RuntimeError("serving dispatcher died") from self._error
         if self._closed:
             raise RuntimeError("frontend is closed")
-        img = np.asarray(image, np.float32)
+        img = np.asarray(image)
+        if img.dtype != np.uint8:  # uint8 passes through untouched
+            img = np.asarray(img, np.float32)
         if img.ndim != 3 or img.shape[-1] != 3:
             raise ValueError(f"expected HWC RGB image, got shape {img.shape}")
         fut: Future = Future()
@@ -126,10 +129,14 @@ class BatchingFrontend:
         self._thread.join(timeout=timeout)
 
 
-def _decode_request_image(body: bytes) -> np.ndarray:
+def _decode_request_image(body: bytes, as_uint8: bool = False) -> np.ndarray:
     from PIL import Image
 
     img = Image.open(io.BytesIO(body)).convert("RGB")
+    if as_uint8:
+        # uint8-input engines take the decoder's bytes as-is: no host-side
+        # float conversion, 4× smaller host→device upload, same numerics
+        return np.asarray(img, np.uint8)
     return np.asarray(img, np.float32) / 255.0
 
 
@@ -164,6 +171,7 @@ def make_server(
     followed by ``server.frontend.close()`` is the clean stop sequence
     (``serve_forever`` below does both on KeyboardInterrupt)."""
     frontend = BatchingFrontend(engine, max_wait=max_wait, depth=depth)
+    uint8_in = getattr(engine, "input", "float32") == "uint8"
 
     class Handler(BaseHTTPRequestHandler):
         # one TCP connection per request is fine for an inference API;
@@ -213,7 +221,7 @@ def make_server(
                 if n <= 0:
                     raise ValueError("empty body")
                 body = self.rfile.read(n)
-                img = _decode_request_image(body)
+                img = _decode_request_image(body, as_uint8=uint8_in)
                 fut = frontend.submit(img)
             except Exception as e:
                 self._json(400, {"error": f"bad image: {e}"})

@@ -559,3 +559,80 @@ def test_http_uint8_engine(engine, engine_u8, np_rng):
     finally:
         server.shutdown()
         server.frontend.close()
+
+
+# --- on-device uint8 input staging -------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def engine_u8io():
+    """uint8 in AND out — the production serving config (one extra compile)."""
+    import jax
+
+    params = fdgan.init(jax.random.PRNGKey(0))
+    return InferenceEngine(
+        params,
+        precision="fp32",
+        bn_mode="running",
+        bucket=64,
+        batch_sizes=(1, 2),
+        output="uint8",
+        input="uint8",
+    )
+
+
+def test_input_arg_validation():
+    with pytest.raises(ValueError, match="input"):
+        InferenceEngine({}, input="int8")
+
+
+def test_uint8_input_bit_identical_for_8bit_sources(engine_u8, engine_u8io, np_rng):
+    """For a genuinely 8-bit source, uint8 staging (x/255 fused on device)
+    must equal float staging (x/255 on host) exactly: same fp32 division,
+    different side of the transfer."""
+    src = (np_rng.uniform(size=(40, 56, 3)) * 255).astype(np.uint8)
+    a = engine_u8.predict(src.astype(np.float32) / 255.0)  # float-staged
+    b = engine_u8io.predict(src)  # uint8-staged
+    np.testing.assert_array_equal(a, b)
+
+
+def test_uint8_image_into_float_engine(engine, np_rng):
+    """uint8 ingress is valid on ANY engine: [0,255] is normalised at
+    ingest, identically to the caller doing /255 themselves."""
+    src = (np_rng.uniform(size=(40, 56, 3)) * 255).astype(np.uint8)
+    a = engine.predict(src)
+    b = engine.predict(src.astype(np.float32) / 255.0)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_float_image_into_uint8_engine_quantises(engine_u8, engine_u8io, np_rng):
+    """A float image given to a uint8-input engine is round-quantised on
+    host — equivalent to the caller snapping it to the 8-bit grid first."""
+    img = np_rng.uniform(size=(40, 56, 3)).astype(np.float32)
+    got = engine_u8io.predict(img)
+    want = engine_u8.predict(np.round(img * 255.0).astype(np.float32) / 255.0)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_http_uint8_input_engine(engine_u8io, np_rng):
+    """The HTTP decode path hands a uint8-input engine the decoder's bytes
+    directly; the response must match predict() on the same uint8 array."""
+    import threading
+
+    from fdgan_tpu.serve_http import make_server
+
+    server = make_server(engine_u8io, port=0, max_wait=0.05, depth=2)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        img_u8 = (np_rng.uniform(size=(40, 56, 3)) * 255).astype(np.uint8)
+        want = engine_u8io.predict(img_u8)
+        status, headers, data = _post(
+            server, "/dehaze?raw=1", _png_bytes(img_u8.astype(np.float32) / 255.0)
+        )
+        assert status == 200, data
+        assert headers["X-Image-Dtype"] == "uint8"
+        got = np.frombuffer(data, np.uint8).reshape(40, 56, 3)
+        np.testing.assert_array_equal(got, want)
+    finally:
+        server.shutdown()
+        server.frontend.close()

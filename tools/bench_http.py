@@ -43,6 +43,12 @@ def main():
                          "4x smaller result fetch (the serving-optimal "
                          "config and this bench's default; float32 measures "
                          "the full-precision path)")
+    ap.add_argument("--inputDtype", choices=["float32", "uint8"],
+                    default="uint8",
+                    help="engine staging mode; uint8 uploads decoder bytes "
+                         "-> 4x smaller host->device transfer, bit-identical "
+                         "results for 8-bit sources (default here; float32 "
+                         "measures the normalised-float upload path)")
     ap.add_argument("--raw", action="store_true",
                     help="request ?raw=1 native-dtype payloads instead of PNGs")
     opt = ap.parse_args()
@@ -67,9 +73,9 @@ def main():
 
     engine = InferenceEngine(
         params, precision=opt.precision, bn_mode="running",
-        output=opt.outputDtype,
+        output=opt.outputDtype, input=opt.inputDtype,
     )
-    print(f"engine output dtype: {opt.outputDtype}")
+    print(f"engine dtypes: input {opt.inputDtype}, output {opt.outputDtype}")
     server = make_server(engine, port=0, max_wait=opt.maxWait, depth=opt.depth)
     threading.Thread(target=server.serve_forever, daemon=True).start()
     host, port = server.server_address[:2]
