@@ -59,6 +59,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "to 0.05 s in this mode). --inDir is not needed")
     p.add_argument("--httpHost", default="127.0.0.1",
                    help="bind address for --http (default loopback)")
+    p.add_argument("--warmup", default="",
+                   help="comma-separated HxW input shapes (e.g. "
+                        "'384x512,720x1280') to pre-compile — every batch "
+                        "ladder rung per shape — before serving starts. A "
+                        "cold compile is minutes on a remote-compile link; "
+                        "without warmup it lands on the first matching "
+                        "request")
     p.add_argument("--outputDtype", choices=["float32", "uint8"],
                    default="float32",
                    help="uint8 quantises results on device (round((y+1)*"
@@ -193,6 +200,26 @@ def main(argv=None):
         output=opt.outputDtype,
         input=opt.inputDtype,
     )
+
+    if opt.warmup:
+        try:
+            shapes = [
+                tuple(int(d) for d in s.lower().split("x"))
+                for s in opt.warmup.split(",") if s.strip()
+            ]
+            if any(len(s) != 2 for s in shapes):
+                raise ValueError
+        except ValueError:
+            raise SystemExit(
+                f"--warmup must look like '384x512,720x1280', got {opt.warmup!r}"
+            )
+        t0 = time.time()
+        engine.warmup(shapes)
+        print(
+            f"warmed {len(shapes)} shape(s) x {len(engine.batch_sizes)} "
+            f"ladder rungs in {time.time() - t0:.1f}s "
+            f"({engine.stats['compiles']} compiles)"
+        )
 
     if opt.http:
         from fdgan_tpu.serve_http import make_server, serve_forever

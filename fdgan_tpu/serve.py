@@ -226,28 +226,40 @@ class InferenceEngine:
 
     # --- public API ------------------------------------------------------------
 
-    def warmup(self, shapes: Iterable[Tuple[int, int]], batch: int = 1) -> None:
+    def warmup(
+        self,
+        shapes: Iterable[Tuple[int, int]],
+        batch: Optional[int] = None,
+    ) -> None:
         """Pre-compile the programs for the given (H, W) input shapes.
+
+        ``batch=None`` (default) warms EVERY rung of the batch ladder —
+        under concurrent load the engine dispatches whichever rung fits
+        the coalesced group, so a partial warmup leaves the remaining
+        programs to compile on the request path (minutes on a
+        remote-compile link). Pass an int to warm just that rung.
 
         Calls the compiled forward directly (not ``_dispatch``) so warmup
         does not inflate the batch/image/padding statistics — only the
         compile counter moves."""
+        rungs = self.batch_sizes if batch is None else (batch,)
         for h, w in shapes:
             H, W = self._bucket_hw(h, w)
-            b = self._batch_bucket(batch)
-            x = np.zeros((b, H, W, 3), self._stage_dtype)
-            if self._batch_sharding is not None:
-                x = jax.device_put(x, self._batch_sharding)
-            else:
-                x = jnp.asarray(x)
-            with self._lock:
-                n_before = self._cache_size()
-                y = self._fwd(self._params, x)
-                if n_before is not None:
-                    n_after = self._cache_size()
-                    if n_after is not None:
-                        self.stats["compiles"] += n_after - n_before
-            y.block_until_ready()
+            for rung in rungs:
+                b = self._batch_bucket(rung)
+                x = np.zeros((b, H, W, 3), self._stage_dtype)
+                if self._batch_sharding is not None:
+                    x = jax.device_put(x, self._batch_sharding)
+                else:
+                    x = jnp.asarray(x)
+                with self._lock:
+                    n_before = self._cache_size()
+                    y = self._fwd(self._params, x)
+                    if n_before is not None:
+                        n_after = self._cache_size()
+                        if n_after is not None:
+                            self.stats["compiles"] += n_after - n_before
+                y.block_until_ready()
 
     def _cache_size(self):
         try:

@@ -636,3 +636,23 @@ def test_http_uint8_input_engine(engine_u8io, np_rng):
     finally:
         server.shutdown()
         server.frontend.close()
+
+
+def test_warmup_covers_full_ladder(np_rng):
+    """Default warmup() compiles EVERY batch-ladder rung, so no program is
+    left to compile on the request path under concurrent load."""
+    import jax
+
+    params = fdgan.init(jax.random.PRNGKey(0))
+    eng = InferenceEngine(
+        params, precision="fp32", bn_mode="running", bucket=16,
+        batch_sizes=(1, 2),
+    )
+    eng.warmup([(16, 16)])
+    assert eng.stats["compiles"] == 2  # one program per rung
+    before = eng.stats["compiles"]
+    eng.predict(np_rng.uniform(size=(16, 16, 3)).astype(np.float32))
+    eng.predict_batch(
+        [np_rng.uniform(size=(16, 16, 3)).astype(np.float32) for _ in range(2)]
+    )
+    assert eng.stats["compiles"] == before  # both rungs were pre-compiled

@@ -105,12 +105,19 @@ def main():
         assert len(data) > 1000
         return time.monotonic() - t0
 
-    # warmup: one request per distinct shape, serial (compiles cached after)
+    # warmup 1: every ladder rung at every distinct input shape — serial
+    # requests alone only exercise the small rungs, leaving the top-of-
+    # ladder program to compile mid-run under concurrent load
+    from PIL import Image
+
     t0 = time.monotonic()
+    shapes = {Image.open(io.BytesIO(b)).size[::-1] for b in bodies}
+    engine.warmup(shapes)
+    # warmup 2: one request per distinct image (PIL + HTTP path warm)
     for i in range(len(bodies)):
         post(i)
-    print(f"warmup ({len(bodies)} serial requests incl. any compiles): "
-          f"{time.monotonic() - t0:.1f}s")
+    print(f"warmup ({len(shapes)} shapes x full ladder + {len(bodies)} serial "
+          f"requests, incl. any compiles): {time.monotonic() - t0:.1f}s")
 
     lat: list = []
     err: list = []
