@@ -45,6 +45,14 @@ def main(argv=None):
     p.add_argument("--precision", default="bf16", choices=["bf16", "fp32"])
     p.add_argument("--bnMode", default="batch", choices=["batch", "running"])
     p.add_argument(
+        "--ioDtype",
+        default="float32",
+        choices=["float32", "uint8"],
+        help=".shlo I/O contract: uint8 bakes the byte interface into the "
+        "artifact (uint8 [0,255] in, x/255 fused; uint8 out, on-device "
+        "quantise) — 4x smaller transfers for constrained-link serving",
+    )
+    p.add_argument(
         "--platforms",
         default="tpu,cpu",
         help="comma list of target platforms baked into the .shlo (export "
@@ -97,12 +105,13 @@ def main(argv=None):
             bn_mode=opt.bnMode,
             platforms=[s.strip() for s in opt.platforms.split(",") if s.strip()]
             or None,
+            io=opt.ioDtype,
         )
         n = save_exported(opt.dst, exported)
         print(
             f"exported {opt.src} -> {opt.dst} ({n/1e6:.1f} MB StableHLO, "
-            f"{opt.batch}x{opt.imageSize}^2 {opt.precision} bn={opt.bnMode}, "
-            f"platforms={list(exported.platforms)})"
+            f"{opt.batch}x{opt.imageSize}^2 {opt.precision} bn={opt.bnMode} "
+            f"io={opt.ioDtype}, platforms={list(exported.platforms)})"
         )
         return
 

@@ -40,6 +40,7 @@ def export_forward(
     bn_mode: str = "batch",
     bake_params: bool = True,
     platforms: Optional[Sequence[str]] = None,
+    io: str = "float32",
 ) -> jexport.Exported:
     """Lower the FDGAN forward to a (serializable) ``jax.export.Exported``.
 
@@ -59,21 +60,38 @@ def export_forward(
     ladder of ``serve.InferenceEngine`` for fixed-resolution deployments.
     Spatial dims stay static — convs/upsamples tile best under XLA with
     known H and W, and the engine's shape buckets own that axis.
+
+    ``io="uint8"`` bakes the byte interface into the artifact: the input
+    aval becomes uint8 [0, 255] (``x/255`` fused into the program, exact
+    for 8-bit sources) and the output is quantised on device to uint8
+    ``round((y+1)*127.5)`` — the same contract as
+    ``serve.InferenceEngine(input='uint8', output='uint8')``, for
+    deployments where host↔device transfer is the serving ceiling.
     """
     if precision not in ("bf16", "fp32"):
         raise ValueError(f"precision must be bf16|fp32, got {precision!r}")
     if bn_mode not in ("batch", "running"):
         raise ValueError(f"bn_mode must be batch|running, got {bn_mode!r}")
+    if io not in ("float32", "uint8"):
+        raise ValueError(f"io must be float32|uint8, got {io!r}")
 
     dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
     use_params = cast_tree(params, dtype) if precision == "bf16" else params
 
     def forward(p, x):
+        if io == "uint8":
+            # same fp32 x/255 the host would do — bit-identical staging
+            x = x.astype(jnp.float32) / 255.0
         if precision == "fp32":
             with jax.default_matmul_precision("highest"):
                 y = fdgan_fast.apply(p, x.astype(dtype), bn_mode=bn_mode)
         else:
             y = fdgan_fast.apply(p, x.astype(dtype), bn_mode=bn_mode)
+        if io == "uint8":
+            y32 = y.astype(jnp.float32)
+            return jnp.clip(jnp.round((y32 + 1.0) * 127.5), 0.0, 255.0).astype(
+                jnp.uint8
+            )
         return y.astype(jnp.float32)
 
     if isinstance(batch, str):
@@ -82,7 +100,8 @@ def export_forward(
         (bdim,) = jexport.symbolic_shape("b")
     else:
         bdim = int(batch)
-    x_spec = jax.ShapeDtypeStruct((bdim, image_size, image_size, 3), jnp.float32)
+    in_dtype = jnp.uint8 if io == "uint8" else jnp.float32
+    x_spec = jax.ShapeDtypeStruct((bdim, image_size, image_size, 3), in_dtype)
     kwargs = {"platforms": tuple(platforms)} if platforms else {}
 
     if bake_params:
@@ -136,6 +155,13 @@ class ArtifactRunner:
         b, H, W, _ = self.exported.in_avals[0].shape
         self.batch: Optional[int] = b if isinstance(b, int) else None
         self.height, self.width = int(H), int(W)
+        # the artifact's aval IS the I/O contract — uint8 artifacts take
+        # [0,255] bytes (io='uint8' exports), float ones take [0,1] fp32
+        self.input = (
+            "uint8"
+            if self.exported.in_avals[0].dtype == np.uint8
+            else "float32"
+        )
 
     @staticmethod
     def _pad_hw(img: np.ndarray, H: int, W: int) -> np.ndarray:
@@ -145,13 +171,27 @@ class ArtifactRunner:
             img = np.pad(img, ((0, ph), (0, pw), (0, 0)), mode=mode)
         return img
 
+    def _ingest(self, img) -> np.ndarray:
+        """serve.InferenceEngine._ingest semantics: uint8 means [0, 255],
+        float means [0, 1]; only float→uint8 quantises (round, ≤1/510)."""
+        a = np.asarray(img)
+        if a.dtype == np.uint8:
+            return a if self.input == "uint8" else a.astype(np.float32) / 255.0
+        if self.input == "uint8":
+            a = np.asarray(a, np.float32)
+            return np.clip(np.round(a * 255.0), 0.0, 255.0).astype(np.uint8)
+        return np.asarray(a, np.float32)
+
     def __call__(
         self, images: Sequence[np.ndarray], group: int = 8
     ) -> List[np.ndarray]:
-        """Run fp32 HWC images (values in the network's input range) and
-        return dehazed fp32 HWC arrays at each input's original size.
-        ``group`` caps the batch per dispatch for polymorphic artifacts
-        (fixed-batch artifacts always dispatch their export batch)."""
+        """Run HWC images (float [0,1] or uint8 [0,255] — both accepted,
+        converted to the artifact's input contract like the engine's
+        ingress) and return dehazed HWC arrays at each input's original
+        size, in the artifact's output dtype (fp32, or uint8 for
+        ``io='uint8'`` exports). ``group`` caps the batch per dispatch for
+        polymorphic artifacts (fixed-batch artifacts always dispatch their
+        export batch)."""
         H, W = self.height, self.width
         for im in images:
             if im.ndim != 3 or im.shape[2] != 3:
@@ -166,7 +206,7 @@ class ArtifactRunner:
         for i in range(0, len(images), step):
             chunk = list(images[i : i + step])
             n = len(chunk)
-            padded = [self._pad_hw(np.asarray(im, np.float32), H, W) for im in chunk]
+            padded = [self._pad_hw(self._ingest(im), H, W) for im in chunk]
             if self.batch is not None:
                 while len(padded) < self.batch:
                     padded.append(padded[len(padded) % n])

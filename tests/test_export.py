@@ -142,3 +142,46 @@ def test_export_batch_polymorphic(params):
     )
     assert y.shape == ref.shape == (3, 64, 64, 3)
     np.testing.assert_allclose(y, ref, atol=5e-3, rtol=0)
+
+
+def test_export_uint8_io(params, tmp_path):
+    """io='uint8' bakes the byte interface: the artifact's input aval is
+    uint8, the output is the on-device quantisation of the float export's
+    result, and ArtifactRunner adapts its ingress to the aval."""
+    ex_u8 = export_forward(
+        params, image_size=64, batch=1, precision="fp32", bn_mode="running",
+        io="uint8",
+    )
+    assert ex_u8.in_avals[0].dtype == np.uint8
+    path = str(tmp_path / "netG_64_u8.shlo")
+    save_exported(path, ex_u8)
+
+    src = (
+        np.abs(np.sin(np.arange(64 * 64 * 3, dtype=np.float32))).reshape(
+            64, 64, 3
+        ) * 255
+    ).astype(np.uint8)
+
+    runner = ArtifactRunner(path)
+    assert runner.input == "uint8"
+    # uint8 ingress passes through; float ingress quantises to the same grid
+    got = runner([src])[0]
+    assert got.dtype == np.uint8 and got.shape == (64, 64, 3)
+    got_f = runner([src.astype(np.float32) / 255.0])[0]
+    np.testing.assert_array_equal(got, got_f)
+
+    # equals host-side quantisation of the float-I/O artifact (same graph,
+    # rounding may differ by the last ulp at quantisation boundaries)
+    ex_f = export_forward(
+        params, image_size=64, batch=1, precision="fp32", bn_mode="running"
+    )
+    y = np.asarray(ex_f.call(src.astype(np.float32)[None] / 255.0))[0]
+    want = np.clip(np.round((y + 1.0) * 127.5), 0, 255).astype(np.uint8)
+    diff = np.abs(got.astype(np.int16) - want.astype(np.int16))
+    assert diff.max() <= 1
+    assert (diff == 0).mean() > 0.99
+
+
+def test_export_validates_io(params):
+    with pytest.raises(ValueError, match="io"):
+        export_forward(params, image_size=64, io="int8")
