@@ -656,3 +656,27 @@ def test_warmup_covers_full_ladder(np_rng):
         [np_rng.uniform(size=(16, 16, 3)).astype(np.float32) for _ in range(2)]
     )
     assert eng.stats["compiles"] == before  # both rungs were pre-compiled
+
+
+def test_tile_uint8_io_compose(np_rng):
+    """The halo-tile route composes with uint8 I/O: tiles are staged as
+    uint8, _forward normalises/quantises per tile, and the stitched result
+    equals the untiled quantised forward away from tile seams (quantisation
+    is pointwise, so seams carry only the usual tile-vs-untiled float
+    delta — which real-model tests bound at 2e-4, well under one level)."""
+    import jax
+
+    params = fdgan.init(jax.random.PRNGKey(0))
+    kw = dict(
+        precision="fp32", bn_mode="running", bucket=8, batch_sizes=(1,),
+        input="uint8", output="uint8",
+    )
+    tiled = InferenceEngine(params, tile=24, halo=8, **kw)
+    plain = InferenceEngine(params, **kw)
+    src = (np_rng.uniform(size=(32, 40, 3)) * 255).astype(np.uint8)
+    got = tiled.predict(src)  # 32x40 > 24 → tiled route
+    assert got.dtype == np.uint8 and got.shape == (32, 40, 3)
+    want = plain.predict(src)
+    diff = np.abs(got.astype(np.int16) - want.astype(np.int16))
+    assert diff.max() <= 1
+    assert (diff == 0).mean() > 0.99
