@@ -158,11 +158,15 @@ def make_server(
     max_wait: float = 0.05,
     depth: int = 4,
     request_timeout: float = 900.0,
+    max_body_bytes: int = 64 * 1024 * 1024,
 ) -> ThreadingHTTPServer:
     """Build (but don't start) the HTTP server wrapping ``engine``.
 
     ``port=0`` binds an ephemeral port (read it back from
-    ``server.server_address[1]``). ``request_timeout`` must cover a cold
+    ``server.server_address[1]``). ``max_body_bytes`` rejects oversized
+    uploads with 413 before reading them (bounds per-request memory;
+    decompression bombs are separately caught by PIL's pixel limit and
+    surface as 400). ``request_timeout`` must cover a cold
     XLA compile of a new shape bucket (measured 3-10 min over this
     environment's remote-compile tunnel — warm requests are ~0.4 s); call
     ``engine.warmup()`` first to take compiles off the request path.
@@ -220,6 +224,19 @@ def make_server(
                 n = int(self.headers.get("Content-Length", 0))
                 if n <= 0:
                     raise ValueError("empty body")
+                if n > max_body_bytes:
+                    # bound per-request memory BEFORE reading: a single
+                    # oversized (or malicious) upload must not OOM the
+                    # shared server (413, not 400 — the client can retry
+                    # smaller)
+                    self._json(
+                        413,
+                        {
+                            "error": f"body {n} bytes exceeds the "
+                            f"{max_body_bytes}-byte limit"
+                        },
+                    )
+                    return
                 body = self.rfile.read(n)
                 img = _decode_request_image(body, as_uint8=uint8_in)
                 fut = frontend.submit(img)

@@ -680,3 +680,23 @@ def test_tile_uint8_io_compose(np_rng):
     diff = np.abs(got.astype(np.int16) - want.astype(np.int16))
     assert diff.max() <= 1
     assert (diff == 0).mean() > 0.99
+
+
+def test_http_rejects_oversized_body(engine):
+    """An oversized upload gets 413 BEFORE the body is read into memory."""
+    import threading
+
+    from fdgan_tpu.serve_http import make_server
+
+    server = make_server(engine, port=0, max_wait=0.05, max_body_bytes=1000)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        status, _, data = _post(server, "/dehaze", b"x" * 2000)
+        assert status == 413, data
+        assert b"limit" in data
+        # a within-limit (but invalid) body still reaches decode → 400
+        status, _, data = _post(server, "/dehaze", b"x" * 100)
+        assert status == 400, data
+    finally:
+        server.shutdown()
+        server.frontend.close()
