@@ -129,6 +129,67 @@ def load_exported(path: str) -> jexport.Exported:
         return jexport.deserialize(bytearray(f.read()))
 
 
+def export_native_bundle(
+    params: dict,
+    out_base: str,
+    *,
+    image_size: int,
+    batch: int = 1,
+    precision: str = "bf16",
+    bn_mode: str = "batch",
+    io: str = "uint8",
+    platform: str = "tpu",
+) -> dict:
+    """Export everything a NON-PYTHON PJRT consumer needs to serve FDGAN.
+
+    The C runtime contract (consumed by ``native/pjrt_runner.c``) is four
+    sibling files at ``out_base.*``:
+
+    - ``.mlirbc``  — the raw StableHLO portable bytecode of the lowered
+      forward (exactly what JAX itself hands ``PJRT_Client_Compile`` with
+      format ``"mlir"``; weights baked in as constants).
+    - ``.copts``   — a serialized ``xla.CompileOptionsProto`` (defaults:
+      1 replica / 1 partition) for the same compile call.
+    - ``.sig``     — two machine-trivial text lines ``<dtype> <dims...>``
+      (input, then output) so the C side needs no MLIR or JSON parser.
+    - ``.shlo``    — the full ``jax.export`` artifact, so Python tooling
+      (``ArtifactRunner``/``tools/check_native.py``) can cross-check the
+      native runtime's bytes against the same program.
+
+    Single-platform on purpose: multi-platform exports prepend a
+    platform-index argument to ``main``, which would change the C ABI.
+    """
+    if batch == "poly" or not isinstance(batch, int):
+        raise ValueError("native bundles need a fixed batch (the C runner "
+                         "allocates static buffers)")
+    exported = export_forward(
+        params,
+        image_size=image_size,
+        batch=batch,
+        precision=precision,
+        bn_mode=bn_mode,
+        platforms=[platform],
+        io=io,
+    )
+    paths = {k: f"{out_base}.{k}" for k in ("mlirbc", "copts", "sig", "shlo")}
+    with open(paths["mlirbc"], "wb") as f:
+        f.write(exported.mlir_module_serialized)
+    from jax._src.lib import xla_client
+
+    with open(paths["copts"], "wb") as f:
+        f.write(xla_client.CompileOptions().SerializeAsString())
+
+    def _sig_line(aval) -> str:
+        name = {"uint8": "u8", "float32": "f32"}[str(aval.dtype)]
+        return " ".join([name] + [str(int(d)) for d in aval.shape])
+
+    with open(paths["sig"], "w") as f:
+        f.write(_sig_line(exported.in_avals[0]) + "\n")
+        f.write(_sig_line(exported.out_avals[0]) + "\n")
+    save_exported(paths["shlo"], exported)
+    return paths
+
+
 class ArtifactRunner:
     """Serve images through a deserialized artifact — no model code needed.
 

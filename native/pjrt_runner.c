@@ -1,0 +1,430 @@
+/* pjrt_runner — serve an exported FDGAN artifact from C, no Python.
+ *
+ * The TPU-native deployment endgame: the reference framework always drags
+ * a Python interpreter + torch along to serve (demo.py rebuilds the
+ * nn.Module graph to load a .pth). Here the serving runtime is ~600 lines
+ * of C against the PJRT C API: dlopen a PJRT plugin, compile the StableHLO
+ * bytecode produced by `fdgan_tpu.io.export.export_native_bundle`, and
+ * run inference — weights baked into the program, zero Python anywhere in
+ * the serving process.
+ *
+ * Bundle contract (written by export_native_bundle, see io/export.py):
+ *   <base>.mlirbc  StableHLO portable bytecode (what JAX itself hands
+ *                  PJRT_Client_Compile with format "mlir")
+ *   <base>.copts   serialized xla.CompileOptionsProto
+ *   <base>.sig     two text lines "<dtype> <d0> <d1> ..." (input, output)
+ *
+ * Usage:
+ *   pjrt_runner <bundle_base> [--plugin SO] [--input RAW] [--output RAW]
+ *               [--loops N]
+ *
+ * Defaults target this machine's axon TPU plugin; --plugin lets the same
+ * binary drive any PJRT plugin (CPU, GPU, stock libtpu) with a matching
+ * bundle. Works against PJRT C API >= 0.54 via the append-only forward-
+ * compatibility contract (we only touch pre-0.54 entry points and pass
+ * modern struct_size values, which plugins accept as >= their own).
+ */
+
+#include <dlfcn.h>
+#include <stdint.h>
+#include <stdio.h>
+#include <stdlib.h>
+#include <string.h>
+#include <time.h>
+#include <unistd.h>
+
+#include "xla/pjrt/c/pjrt_c_api.h"
+
+#define DEFAULT_PLUGIN "/opt/axon/libaxon_pjrt.so"
+
+static const PJRT_Api* g_api = NULL;
+
+static double now_s(void) {
+  struct timespec ts;
+  clock_gettime(CLOCK_MONOTONIC, &ts);
+  return (double)ts.tv_sec + 1e-9 * (double)ts.tv_nsec;
+}
+
+static void die(const char* msg) {
+  fprintf(stderr, "pjrt_runner: %s\n", msg);
+  exit(1);
+}
+
+/* Print the plugin's error message and exit (PJRT errors own their text). */
+static void check(PJRT_Error* err, const char* what) {
+  if (err == NULL) return;
+  PJRT_Error_Message_Args m;
+  memset(&m, 0, sizeof m);
+  m.struct_size = PJRT_Error_Message_Args_STRUCT_SIZE;
+  m.error = err;
+  g_api->PJRT_Error_Message(&m);
+  fprintf(stderr, "pjrt_runner: %s failed: %.*s\n", what, (int)m.message_size,
+          m.message);
+  PJRT_Error_Destroy_Args d;
+  memset(&d, 0, sizeof d);
+  d.struct_size = PJRT_Error_Destroy_Args_STRUCT_SIZE;
+  d.error = err;
+  g_api->PJRT_Error_Destroy(&d);
+  exit(1);
+}
+
+static void await_event(PJRT_Event* ev, const char* what) {
+  PJRT_Event_Await_Args a;
+  memset(&a, 0, sizeof a);
+  a.struct_size = PJRT_Event_Await_Args_STRUCT_SIZE;
+  a.event = ev;
+  check(g_api->PJRT_Event_Await(&a), what);
+  PJRT_Event_Destroy_Args d;
+  memset(&d, 0, sizeof d);
+  d.struct_size = PJRT_Event_Destroy_Args_STRUCT_SIZE;
+  d.event = ev;
+  g_api->PJRT_Event_Destroy(&d);
+}
+
+static char* read_file(const char* path, size_t* size_out) {
+  FILE* f = fopen(path, "rb");
+  if (!f) {
+    fprintf(stderr, "pjrt_runner: cannot open %s\n", path);
+    exit(1);
+  }
+  fseek(f, 0, SEEK_END);
+  long n = ftell(f);
+  fseek(f, 0, SEEK_SET);
+  char* buf = (char*)malloc((size_t)n);
+  if (!buf || fread(buf, 1, (size_t)n, f) != (size_t)n) die("short read");
+  fclose(f);
+  *size_out = (size_t)n;
+  return buf;
+}
+
+/* One ".sig" line: "<u8|f32> <d0> <d1> ..." */
+typedef struct {
+  PJRT_Buffer_Type type;
+  size_t elem_bytes;
+  int64_t dims[8];
+  size_t num_dims;
+  size_t total_bytes;
+} Signature;
+
+static void parse_sig_line(FILE* f, Signature* s) {
+  char dtype[16];
+  if (fscanf(f, "%15s", dtype) != 1) die("bad .sig");
+  if (strcmp(dtype, "u8") == 0) {
+    s->type = PJRT_Buffer_Type_U8;
+    s->elem_bytes = 1;
+  } else if (strcmp(dtype, "f32") == 0) {
+    s->type = PJRT_Buffer_Type_F32;
+    s->elem_bytes = 4;
+  } else {
+    die("unsupported dtype in .sig (u8|f32)");
+  }
+  s->num_dims = 0;
+  s->total_bytes = s->elem_bytes;
+  long long d;
+  while (s->num_dims < 8 && fscanf(f, "%lld", &d) == 1) {
+    s->dims[s->num_dims++] = (int64_t)d;
+    s->total_bytes *= (size_t)d;
+    int c = fgetc(f);
+    if (c == '\n' || c == EOF) break;
+    ungetc(c, f);
+  }
+  if (s->num_dims == 0) die("no dims in .sig");
+}
+
+/* The axon plugin handshake: the same env contract the Python
+ * sitecustomize establishes (axon/register) — setenv-if-absent so an
+ * already-configured environment wins. Harmless for other plugins. */
+static void default_env(void) {
+  setenv("TPU_SKIP_MDS_QUERY", "1", 0);
+  setenv("TPU_WORKER_HOSTNAMES", "localhost", 0);
+  setenv("AXON_COMPAT_VERSION", "49", 0);
+  setenv("TPU_ACCELERATOR_TYPE", "v5litepod-4", 0);
+  setenv("TPU_TOPOLOGY", "1x1", 0);
+  /* zero-egress tunnel relay: the pre-existing terminal is reached via
+   * loopback (what the Python sitecustomize sets up from
+   * PALLAS_AXON_POOL_IPS) */
+  if (getenv("PALLAS_AXON_POOL_IPS") != NULL) {
+    setenv("AXON_POOL_SVC_OVERRIDE", "127.0.0.1", 0);
+    setenv("AXON_LOOPBACK_RELAY", "1", 0);
+  }
+}
+
+static PJRT_NamedValue named_str(const char* name, const char* val) {
+  PJRT_NamedValue v;
+  memset(&v, 0, sizeof v);
+  v.struct_size = PJRT_NamedValue_STRUCT_SIZE;
+  v.name = name;
+  v.name_size = strlen(name);
+  v.type = PJRT_NamedValue_kString;
+  v.string_value = val;
+  v.value_size = strlen(val);
+  return v;
+}
+
+static PJRT_NamedValue named_int(const char* name, int64_t val) {
+  PJRT_NamedValue v;
+  memset(&v, 0, sizeof v);
+  v.struct_size = PJRT_NamedValue_STRUCT_SIZE;
+  v.name = name;
+  v.name_size = strlen(name);
+  v.type = PJRT_NamedValue_kInt64;
+  v.int64_value = val;
+  v.value_size = 1;
+  return v;
+}
+
+int main(int argc, char** argv) {
+  const char* base = NULL;
+  const char* plugin = DEFAULT_PLUGIN;
+  const char* input_path = NULL;
+  const char* output_path = NULL;
+  int loops = 1;
+  for (int i = 1; i < argc; i++) {
+    if (strcmp(argv[i], "--plugin") == 0 && i + 1 < argc)
+      plugin = argv[++i];
+    else if (strcmp(argv[i], "--input") == 0 && i + 1 < argc)
+      input_path = argv[++i];
+    else if (strcmp(argv[i], "--output") == 0 && i + 1 < argc)
+      output_path = argv[++i];
+    else if (strcmp(argv[i], "--loops") == 0 && i + 1 < argc)
+      loops = atoi(argv[++i]);
+    else if (argv[i][0] != '-' && base == NULL)
+      base = argv[i];
+    else {
+      fprintf(stderr,
+              "usage: %s <bundle_base> [--plugin SO] [--input RAW] "
+              "[--output RAW] [--loops N]\n",
+              argv[0]);
+      return 2;
+    }
+  }
+  if (!base) die("missing <bundle_base> (from export_native_bundle)");
+
+  char path[1024];
+  size_t mlir_size, copts_size;
+  snprintf(path, sizeof path, "%s.mlirbc", base);
+  char* mlir = read_file(path, &mlir_size);
+  snprintf(path, sizeof path, "%s.copts", base);
+  char* copts = read_file(path, &copts_size);
+  snprintf(path, sizeof path, "%s.sig", base);
+  FILE* sf = fopen(path, "r");
+  if (!sf) die("missing .sig");
+  Signature in_sig, out_sig;
+  parse_sig_line(sf, &in_sig);
+  parse_sig_line(sf, &out_sig);
+  fclose(sf);
+  printf("bundle %s: program %.1f MB, input %zu B, output %zu B\n", base,
+         mlir_size / 1e6, in_sig.total_bytes, out_sig.total_bytes);
+
+  /* ---- plugin + client ------------------------------------------------ */
+  default_env();
+  void* handle = dlopen(plugin, RTLD_NOW | RTLD_LOCAL);
+  if (!handle) {
+    fprintf(stderr, "pjrt_runner: dlopen(%s): %s\n", plugin, dlerror());
+    return 1;
+  }
+  const PJRT_Api* (*get_api)(void) =
+      (const PJRT_Api* (*)(void))dlsym(handle, "GetPjrtApi");
+  if (!get_api) die("plugin has no GetPjrtApi");
+  g_api = get_api();
+  printf("plugin %s: PJRT C API %d.%d\n", plugin,
+         g_api->pjrt_api_version.major_version,
+         g_api->pjrt_api_version.minor_version);
+
+  char session_id[64];
+  snprintf(session_id, sizeof session_id, "pjrt-runner-%d-%ld", (int)getpid(),
+           (long)time(NULL));
+  PJRT_NamedValue opts[8];
+  size_t nopts = 0;
+  /* Mirrors axon/register/pjrt.py::_register_backend for the pool+
+   * remote-compile path; other plugins ignore unknown options or reject
+   * them — pass --plugin with a matching option-free build if so. */
+  if (strstr(plugin, "axon") != NULL) {
+    opts[nopts++] = named_int("remote_compile", 1);
+    opts[nopts++] = named_int("local_only", 0);
+    opts[nopts++] = named_int("priority", 0);
+    opts[nopts++] = named_str("topology", "v5e:1x1x1");
+    opts[nopts++] = named_int("n_slices", 1);
+    opts[nopts++] = named_str("session_id", session_id);
+    opts[nopts++] = named_int("rank", (int64_t)0xFFFFFFFF);
+  }
+
+  double t0 = now_s();
+  PJRT_Client_Create_Args cc;
+  memset(&cc, 0, sizeof cc);
+  cc.struct_size = PJRT_Client_Create_Args_STRUCT_SIZE;
+  cc.create_options = opts;
+  cc.num_options = nopts;
+  check(g_api->PJRT_Client_Create(&cc), "PJRT_Client_Create");
+  PJRT_Client* client = cc.client;
+  printf("client up in %.1fs\n", now_s() - t0);
+
+  PJRT_Client_AddressableDevices_Args ad;
+  memset(&ad, 0, sizeof ad);
+  ad.struct_size = PJRT_Client_AddressableDevices_Args_STRUCT_SIZE;
+  ad.client = client;
+  check(g_api->PJRT_Client_AddressableDevices(&ad),
+        "PJRT_Client_AddressableDevices");
+  if (ad.num_addressable_devices == 0) die("no addressable devices");
+  PJRT_Device* device = ad.addressable_devices[0];
+  printf("%zu addressable device(s)\n", ad.num_addressable_devices);
+
+  /* ---- compile --------------------------------------------------------- */
+  PJRT_Program prog;
+  memset(&prog, 0, sizeof prog);
+  prog.struct_size = PJRT_Program_STRUCT_SIZE;
+  prog.code = mlir;
+  prog.code_size = mlir_size;
+  prog.format = "mlir";
+  prog.format_size = 4;
+
+  t0 = now_s();
+  PJRT_Client_Compile_Args comp;
+  memset(&comp, 0, sizeof comp);
+  comp.struct_size = PJRT_Client_Compile_Args_STRUCT_SIZE;
+  comp.client = client;
+  comp.program = &prog;
+  comp.compile_options = copts;
+  comp.compile_options_size = copts_size;
+  check(g_api->PJRT_Client_Compile(&comp), "PJRT_Client_Compile");
+  PJRT_LoadedExecutable* exec = comp.executable;
+  printf("compiled in %.1fs\n", now_s() - t0);
+
+  PJRT_LoadedExecutable_GetExecutable_Args ge;
+  memset(&ge, 0, sizeof ge);
+  ge.struct_size = PJRT_LoadedExecutable_GetExecutable_Args_STRUCT_SIZE;
+  ge.loaded_executable = exec;
+  check(g_api->PJRT_LoadedExecutable_GetExecutable(&ge),
+        "PJRT_LoadedExecutable_GetExecutable");
+  PJRT_Executable_NumOutputs_Args no;
+  memset(&no, 0, sizeof no);
+  no.struct_size = PJRT_Executable_NumOutputs_Args_STRUCT_SIZE;
+  no.executable = ge.executable;
+  check(g_api->PJRT_Executable_NumOutputs(&no), "PJRT_Executable_NumOutputs");
+  if (no.num_outputs != 1) die("expected exactly one program output");
+
+  /* ---- input ----------------------------------------------------------- */
+  char* input = (char*)malloc(in_sig.total_bytes);
+  if (input_path) {
+    size_t n;
+    char* raw = read_file(input_path, &n);
+    if (n != in_sig.total_bytes) {
+      fprintf(stderr, "pjrt_runner: input is %zu B, signature needs %zu B\n",
+              n, in_sig.total_bytes);
+      return 1;
+    }
+    memcpy(input, raw, n);
+    free(raw);
+  } else {
+    for (size_t i = 0; i < in_sig.total_bytes; i++)
+      input[i] = (char)((i * 131u) % 251u); /* deterministic smoke pattern */
+  }
+
+  char* result = (char*)malloc(out_sig.total_bytes);
+  double best = 1e30, total = 0.0;
+  for (int it = 0; it < loops; it++) {
+    double ts = now_s();
+
+    PJRT_Client_BufferFromHostBuffer_Args hb;
+    memset(&hb, 0, sizeof hb);
+    hb.struct_size = PJRT_Client_BufferFromHostBuffer_Args_STRUCT_SIZE;
+    hb.client = client;
+    hb.data = input;
+    hb.type = in_sig.type;
+    hb.dims = in_sig.dims;
+    hb.num_dims = in_sig.num_dims;
+    hb.host_buffer_semantics =
+        PJRT_HostBufferSemantics_kImmutableUntilTransferCompletes;
+    hb.device = device;
+    check(g_api->PJRT_Client_BufferFromHostBuffer(&hb),
+          "PJRT_Client_BufferFromHostBuffer");
+    await_event(hb.done_with_host_buffer, "host->device transfer");
+    PJRT_Buffer* inbuf = hb.buffer;
+
+    PJRT_ExecuteOptions eo;
+    memset(&eo, 0, sizeof eo);
+    eo.struct_size = PJRT_ExecuteOptions_STRUCT_SIZE;
+
+    PJRT_Buffer* args_dev0[1] = {inbuf};
+    PJRT_Buffer* const* arg_lists[1] = {args_dev0};
+    PJRT_Buffer* out_dev0[1] = {NULL};
+    PJRT_Buffer** out_lists[1] = {out_dev0};
+    PJRT_Event* done[1] = {NULL};
+
+    PJRT_LoadedExecutable_Execute_Args ex;
+    memset(&ex, 0, sizeof ex);
+    ex.struct_size = PJRT_LoadedExecutable_Execute_Args_STRUCT_SIZE;
+    ex.executable = exec;
+    ex.options = &eo;
+    ex.argument_lists = arg_lists;
+    ex.num_devices = 1;
+    ex.num_args = 1;
+    ex.output_lists = out_lists;
+    ex.device_complete_events = done;
+    check(g_api->PJRT_LoadedExecutable_Execute(&ex),
+          "PJRT_LoadedExecutable_Execute");
+    await_event(done[0], "device execution");
+
+    /* Demand dense row-major bytes. With host_layout NULL the copy comes
+     * back in the DEVICE buffer's layout — on TPU that reorders the minor
+     * dims of a (1,H,W,3) u8 tensor, which scrambles channels in the flat
+     * bytes (measured: a clean 3-cycle channel permutation vs the Python
+     * runner until this was set). The plugin accepts only Tiled layouts
+     * here (what jaxlib's ToLiteral passes): dense row-major is
+     * minor_to_major = [N-1, ..., 0] with no tiles. */
+    int64_t minor_to_major[8];
+    for (size_t d = 0; d < out_sig.num_dims; d++)
+      minor_to_major[d] = (int64_t)(out_sig.num_dims - 1 - d);
+    PJRT_Buffer_MemoryLayout host_layout;
+    memset(&host_layout, 0, sizeof host_layout);
+    host_layout.struct_size = PJRT_Buffer_MemoryLayout_STRUCT_SIZE;
+    host_layout.type = PJRT_Buffer_MemoryLayout_Type_Tiled;
+    host_layout.tiled.struct_size = PJRT_Buffer_MemoryLayout_Tiled_STRUCT_SIZE;
+    host_layout.tiled.minor_to_major = minor_to_major;
+    host_layout.tiled.minor_to_major_size = out_sig.num_dims;
+
+    PJRT_Buffer_ToHostBuffer_Args th;
+    memset(&th, 0, sizeof th);
+    th.struct_size = PJRT_Buffer_ToHostBuffer_Args_STRUCT_SIZE;
+    th.src = out_dev0[0];
+    th.host_layout = &host_layout;
+    th.dst = result;
+    th.dst_size = out_sig.total_bytes;
+    check(g_api->PJRT_Buffer_ToHostBuffer(&th), "PJRT_Buffer_ToHostBuffer");
+    await_event(th.event, "device->host transfer");
+
+    PJRT_Buffer_Destroy_Args bd;
+    memset(&bd, 0, sizeof bd);
+    bd.struct_size = PJRT_Buffer_Destroy_Args_STRUCT_SIZE;
+    bd.buffer = out_dev0[0];
+    check(g_api->PJRT_Buffer_Destroy(&bd), "PJRT_Buffer_Destroy(out)");
+    bd.buffer = inbuf;
+    check(g_api->PJRT_Buffer_Destroy(&bd), "PJRT_Buffer_Destroy(in)");
+
+    double dt = now_s() - ts;
+    total += dt;
+    if (dt < best) best = dt;
+    uint64_t checksum = 0;
+    for (size_t i = 0; i < out_sig.total_bytes; i++)
+      checksum = checksum * 1099511628211ull + (uint8_t)result[i];
+    printf("iter %d: %.3fs end-to-end (upload+exec+fetch), fnv %016llx\n", it,
+           dt, (unsigned long long)checksum);
+  }
+  printf("loops=%d best=%.3fs mean=%.3fs\n", loops, best, total / loops);
+
+  if (output_path) {
+    FILE* f = fopen(output_path, "wb");
+    if (!f || fwrite(result, 1, out_sig.total_bytes, f) != out_sig.total_bytes)
+      die("cannot write output");
+    fclose(f);
+    printf("wrote %zu B to %s\n", out_sig.total_bytes, output_path);
+  }
+
+  PJRT_Client_Destroy_Args cd;
+  memset(&cd, 0, sizeof cd);
+  cd.struct_size = PJRT_Client_Destroy_Args_STRUCT_SIZE;
+  cd.client = client;
+  check(g_api->PJRT_Client_Destroy(&cd), "PJRT_Client_Destroy");
+  printf("ok\n");
+  return 0;
+}

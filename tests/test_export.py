@@ -12,6 +12,7 @@ import pytest
 from fdgan_tpu.io.export import (
     ArtifactRunner,
     export_forward,
+    export_native_bundle,
     load_exported,
     save_exported,
 )
@@ -185,3 +186,48 @@ def test_export_uint8_io(params, tmp_path):
 def test_export_validates_io(params):
     with pytest.raises(ValueError, match="io"):
         export_forward(params, image_size=64, io="int8")
+
+
+def test_export_native_bundle_contract(params, tmp_path):
+    """export_native_bundle writes the four-file contract native/pjrt_runner
+    consumes: raw StableHLO bytecode identical to the .shlo's module, a
+    parseable CompileOptions proto, and a .sig whose two lines match the
+    exported avals. (The C binary itself is exercised on-chip by
+    tools/check_native.py — no CPU PJRT plugin .so ships in this image.)"""
+    base = str(tmp_path / "nb")
+    paths = export_native_bundle(
+        params, base, image_size=32, batch=1, precision="fp32",
+        bn_mode="running", io="uint8", platform="cpu",
+    )
+    assert set(paths) == {"mlirbc", "copts", "sig", "shlo"}
+
+    ex = load_exported(paths["shlo"])
+    with open(paths["mlirbc"], "rb") as f:
+        assert f.read() == ex.mlir_module_serialized
+
+    sig_lines = open(paths["sig"]).read().splitlines()
+    assert sig_lines == ["u8 1 32 32 3", "u8 1 32 32 3"]
+    assert ex.in_avals[0].shape == (1, 32, 32, 3)
+    assert ex.in_avals[0].dtype == np.uint8
+
+    from jax._src.lib import xla_client
+
+    opts = xla_client.CompileOptions.ParseFromString(
+        open(paths["copts"], "rb").read()
+    )
+    assert opts.num_replicas == 1 and opts.num_partitions == 1
+
+    # float I/O variant flips the .sig dtype tokens
+    paths_f = export_native_bundle(
+        params, str(tmp_path / "nbf"), image_size=32, batch=1,
+        precision="fp32", bn_mode="running", io="float32", platform="cpu",
+    )
+    assert open(paths_f["sig"]).read().splitlines() == [
+        "f32 1 32 32 3", "f32 1 32 32 3"
+    ]
+
+    # the C runner allocates static buffers — polymorphic batch must refuse
+    with pytest.raises(ValueError, match="fixed batch"):
+        export_native_bundle(
+            params, base, image_size=32, batch="poly", platform="cpu"
+        )
