@@ -46,22 +46,30 @@ def main() -> int:
 
     base = opt.bundle
     if base is None:
-        from fdgan_tpu.io.export import export_native_bundle
-
-        if opt.netG:
-            from fdgan_tpu.cli._common import load_generator_params
-
-            params = load_generator_params(opt.netG)
-        else:
-            from fdgan_tpu.models import fdgan
-
-            params = fdgan.init(jax.random.PRNGKey(0))
         base = f"/tmp/check_native_{opt.size}"
-        paths = export_native_bundle(
-            params, base, image_size=opt.size, batch=1,
-            precision=opt.precision, bn_mode="batch", io="uint8",
-        )
-        print("exported:", {k: os.path.getsize(p) for k, p in paths.items()})
+        # Export in a CPU-forced child: under the axon platform each of the
+        # hundreds of param-init dispatches costs ~100 ms over the tunnel
+        # (export itself only lowers — it never needs the device).
+        export_src = f"""
+import jax
+jax.config.update('jax_platforms', 'cpu')
+from fdgan_tpu.io.export import export_native_bundle
+if {opt.netG!r}:
+    from fdgan_tpu.cli._common import load_generator_params
+    params = load_generator_params({opt.netG!r})
+else:
+    from fdgan_tpu.models import fdgan
+    params = fdgan.init(jax.random.PRNGKey(0))
+paths = export_native_bundle(
+    params, {base!r}, image_size={opt.size}, batch=1,
+    precision={opt.precision!r}, bn_mode='batch', io='uint8',
+)
+import os
+print('exported:', {{k: os.path.getsize(p) for k, p in paths.items()}})
+"""
+        env = dict(os.environ)
+        env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+        subprocess.run([sys.executable, "-c", export_src], check=True, env=env)
 
     n = opt.size * opt.size * 3
     if opt.image:
