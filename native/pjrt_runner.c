@@ -16,7 +16,16 @@
  *
  * Usage:
  *   pjrt_runner <bundle_base> [--plugin SO] [--input RAW] [--output RAW]
- *               [--loops N]
+ *               [--loops N] [--serve PORT]
+ *
+ * --serve PORT turns the binary into a zero-Python serving daemon: a
+ * minimal HTTP/1.1 endpoint where POST /dehaze takes the bundle's exact
+ * raw input bytes (uint8 HWC — decode images at the edge; there is
+ * deliberately no codec in this process) and answers with the raw output
+ * bytes, headers matching the Python server's ?raw=1 contract
+ * (X-Image-Shape / X-Image-Dtype, serve_http.py:252-270). GET /healthz
+ * reports readiness. Single-threaded by design: one chip, requests
+ * serialize at the device anyway.
  *
  * Defaults target this machine's axon TPU plugin; --plugin lets the same
  * binary drive any PJRT plugin (CPU, GPU, stock libtpu) with a matching
@@ -32,6 +41,12 @@
 #include <string.h>
 #include <time.h>
 #include <unistd.h>
+
+#include <arpa/inet.h>
+#include <netinet/in.h>
+#include <signal.h>
+#include <strings.h>
+#include <sys/socket.h>
 
 #include "xla/pjrt/c/pjrt_c_api.h"
 
@@ -161,6 +176,95 @@ static PJRT_NamedValue named_str(const char* name, const char* val) {
   return v;
 }
 
+/* ---- one inference: upload, execute, fetch (dense row-major) ---------- */
+
+static PJRT_Client* g_client = NULL;
+static PJRT_Device* g_device = NULL;
+static PJRT_LoadedExecutable* g_exec = NULL;
+static Signature g_in_sig, g_out_sig;
+
+static double run_once(const char* input, char* result) {
+  double ts = now_s();
+
+  PJRT_Client_BufferFromHostBuffer_Args hb;
+  memset(&hb, 0, sizeof hb);
+  hb.struct_size = PJRT_Client_BufferFromHostBuffer_Args_STRUCT_SIZE;
+  hb.client = g_client;
+  hb.data = input;
+  hb.type = g_in_sig.type;
+  hb.dims = g_in_sig.dims;
+  hb.num_dims = g_in_sig.num_dims;
+  hb.host_buffer_semantics =
+      PJRT_HostBufferSemantics_kImmutableUntilTransferCompletes;
+  hb.device = g_device;
+  check(g_api->PJRT_Client_BufferFromHostBuffer(&hb),
+        "PJRT_Client_BufferFromHostBuffer");
+  await_event(hb.done_with_host_buffer, "host->device transfer");
+  PJRT_Buffer* inbuf = hb.buffer;
+
+  PJRT_ExecuteOptions eo;
+  memset(&eo, 0, sizeof eo);
+  eo.struct_size = PJRT_ExecuteOptions_STRUCT_SIZE;
+
+  PJRT_Buffer* args_dev0[1] = {inbuf};
+  PJRT_Buffer* const* arg_lists[1] = {args_dev0};
+  PJRT_Buffer* out_dev0[1] = {NULL};
+  PJRT_Buffer** out_lists[1] = {out_dev0};
+  PJRT_Event* done[1] = {NULL};
+
+  PJRT_LoadedExecutable_Execute_Args ex;
+  memset(&ex, 0, sizeof ex);
+  ex.struct_size = PJRT_LoadedExecutable_Execute_Args_STRUCT_SIZE;
+  ex.executable = g_exec;
+  ex.options = &eo;
+  ex.argument_lists = arg_lists;
+  ex.num_devices = 1;
+  ex.num_args = 1;
+  ex.output_lists = out_lists;
+  ex.device_complete_events = done;
+  check(g_api->PJRT_LoadedExecutable_Execute(&ex),
+        "PJRT_LoadedExecutable_Execute");
+  await_event(done[0], "device execution");
+
+  /* Demand dense row-major bytes. With host_layout NULL the copy comes
+   * back in the DEVICE buffer's layout — on TPU that reorders the minor
+   * dims of a (1,H,W,3) u8 tensor, which scrambles channels in the flat
+   * bytes (measured: a clean 3-cycle channel permutation vs the Python
+   * runner until this was set). The plugin accepts only Tiled layouts
+   * here (what jaxlib's ToLiteral passes): dense row-major is
+   * minor_to_major = [N-1, ..., 0] with no tiles. */
+  int64_t minor_to_major[8];
+  for (size_t d = 0; d < g_out_sig.num_dims; d++)
+    minor_to_major[d] = (int64_t)(g_out_sig.num_dims - 1 - d);
+  PJRT_Buffer_MemoryLayout host_layout;
+  memset(&host_layout, 0, sizeof host_layout);
+  host_layout.struct_size = PJRT_Buffer_MemoryLayout_STRUCT_SIZE;
+  host_layout.type = PJRT_Buffer_MemoryLayout_Type_Tiled;
+  host_layout.tiled.struct_size = PJRT_Buffer_MemoryLayout_Tiled_STRUCT_SIZE;
+  host_layout.tiled.minor_to_major = minor_to_major;
+  host_layout.tiled.minor_to_major_size = g_out_sig.num_dims;
+
+  PJRT_Buffer_ToHostBuffer_Args th;
+  memset(&th, 0, sizeof th);
+  th.struct_size = PJRT_Buffer_ToHostBuffer_Args_STRUCT_SIZE;
+  th.src = out_dev0[0];
+  th.host_layout = &host_layout;
+  th.dst = result;
+  th.dst_size = g_out_sig.total_bytes;
+  check(g_api->PJRT_Buffer_ToHostBuffer(&th), "PJRT_Buffer_ToHostBuffer");
+  await_event(th.event, "device->host transfer");
+
+  PJRT_Buffer_Destroy_Args bd;
+  memset(&bd, 0, sizeof bd);
+  bd.struct_size = PJRT_Buffer_Destroy_Args_STRUCT_SIZE;
+  bd.buffer = out_dev0[0];
+  check(g_api->PJRT_Buffer_Destroy(&bd), "PJRT_Buffer_Destroy(out)");
+  bd.buffer = inbuf;
+  check(g_api->PJRT_Buffer_Destroy(&bd), "PJRT_Buffer_Destroy(in)");
+
+  return now_s() - ts;
+}
+
 static PJRT_NamedValue named_int(const char* name, int64_t val) {
   PJRT_NamedValue v;
   memset(&v, 0, sizeof v);
@@ -173,12 +277,171 @@ static PJRT_NamedValue named_int(const char* name, int64_t val) {
   return v;
 }
 
+/* ---- zero-Python HTTP serving ------------------------------------------
+ * Deliberately minimal: HTTP/1.1, Connection: close, single-threaded
+ * (requests serialize at the one chip regardless). Raw-bytes protocol —
+ * the same payloads the Python server's ?raw=1 mode ships
+ * (serve_http.py:252-270); image codecs live at the edge, not here. */
+
+static int read_http_head(int fd, char* buf, size_t cap, size_t* head_len,
+                          size_t* body_got) {
+  size_t n = 0;
+  while (n < cap - 1) {
+    ssize_t r = read(fd, buf + n, cap - 1 - n);
+    if (r <= 0) return -1;
+    n += (size_t)r;
+    buf[n] = 0;
+    char* end = strstr(buf, "\r\n\r\n");
+    if (end) {
+      *head_len = (size_t)(end - buf) + 4;
+      *body_got = n - *head_len;
+      return 0;
+    }
+  }
+  return -1;
+}
+
+static void http_reply(int fd, int code, const char* status,
+                       const char* ctype, const char* extra,
+                       const char* body, size_t body_len) {
+  char head[512];
+  int m = snprintf(head, sizeof head,
+                   "HTTP/1.1 %d %s\r\nContent-Type: %s\r\n"
+                   "Content-Length: %zu\r\nConnection: close\r\n%s\r\n",
+                   code, status, ctype, body_len, extra ? extra : "");
+  if (write(fd, head, (size_t)m) < 0) return;
+  size_t off = 0;
+  while (off < body_len) {
+    ssize_t w = write(fd, body + off, body_len - off);
+    if (w <= 0) return;
+    off += (size_t)w;
+  }
+}
+
+static int serve_http(int port) {
+  char* body = (char*)malloc(g_in_sig.total_bytes);
+  char* out = (char*)malloc(g_out_sig.total_bytes);
+
+  /* absorb the slow first dispatch before accepting traffic */
+  for (size_t i = 0; i < g_in_sig.total_bytes; i++)
+    body[i] = (char)((i * 131u) % 251u);
+  double warm = run_once(body, out);
+  printf("warmup dispatch %.3fs\n", warm);
+
+  signal(SIGPIPE, SIG_IGN);
+  int srv = socket(AF_INET, SOCK_STREAM, 0);
+  if (srv < 0) die("socket");
+  int one = 1;
+  setsockopt(srv, SOL_SOCKET, SO_REUSEADDR, &one, sizeof one);
+  struct sockaddr_in addr;
+  memset(&addr, 0, sizeof addr);
+  addr.sin_family = AF_INET;
+  addr.sin_addr.s_addr = htonl(INADDR_ANY);
+  addr.sin_port = htons((uint16_t)port);
+  if (bind(srv, (struct sockaddr*)&addr, sizeof addr) < 0) die("bind");
+  if (listen(srv, 16) < 0) die("listen");
+
+  char shape_hdr[160];
+  {
+    char dims[96] = "";
+    size_t off = 0;
+    /* per-image shape (drop the leading batch-1 dim), matching the Python
+     * server's X-Image-Shape */
+    for (size_t d = 1; d < g_out_sig.num_dims; d++)
+      off += (size_t)snprintf(dims + off, sizeof dims - off, "%s%lld",
+                              d > 1 ? "x" : "",
+                              (long long)g_out_sig.dims[d]);
+    snprintf(shape_hdr, sizeof shape_hdr,
+             "X-Image-Shape: %s\r\nX-Image-Dtype: %s\r\n", dims,
+             g_out_sig.type == PJRT_Buffer_Type_U8 ? "uint8" : "float32");
+  }
+  printf("serving on :%d (POST /dehaze expects exactly %zu raw bytes)\n",
+         port, g_in_sig.total_bytes);
+  fflush(stdout);
+
+  char head[8192];
+  long served = 0;
+  for (;;) {
+    int fd = accept(srv, NULL, NULL);
+    if (fd < 0) continue;
+    size_t head_len = 0, body_got = 0;
+    if (read_http_head(fd, head, sizeof head, &head_len, &body_got) != 0) {
+      close(fd);
+      continue;
+    }
+    if (strncmp(head, "GET /healthz", 12) == 0) {
+      const char ok[] = "{\"ok\": true}";
+      http_reply(fd, 200, "OK", "application/json", NULL, ok, sizeof ok - 1);
+      close(fd);
+      continue;
+    }
+    if (strncmp(head, "POST /dehaze", 12) != 0) {
+      const char err[] = "{\"error\": \"unknown path\"}";
+      http_reply(fd, 404, "Not Found", "application/json", NULL, err,
+                 sizeof err - 1);
+      close(fd);
+      continue;
+    }
+    long clen = -1;
+    int expect_continue = 0;
+    for (char* p = head; (p = strstr(p, "\r\n")) != NULL && p[2];) {
+      p += 2;
+      if (strncasecmp(p, "Content-Length:", 15) == 0)
+        clen = strtol(p + 15, NULL, 10);
+      else if (strncasecmp(p, "Expect:", 7) == 0 &&
+               strstr(p, "100-continue") != NULL)
+        expect_continue = 1;
+    }
+    if (clen != (long)g_in_sig.total_bytes) {
+      char err[160];
+      int m = snprintf(err, sizeof err,
+                       "{\"error\": \"body must be exactly %zu raw bytes "
+                       "(got %ld)\"}",
+                       g_in_sig.total_bytes, clen);
+      int too_big = clen > (long)g_in_sig.total_bytes;
+      http_reply(fd, too_big ? 413 : 400,
+                 too_big ? "Content Too Large" : "Bad Request",
+                 "application/json", NULL, err, (size_t)m);
+      close(fd);
+      continue;
+    }
+    if (expect_continue && body_got == 0) {
+      /* curl et al. hold the body until told to proceed */
+      const char cont[] = "HTTP/1.1 100 Continue\r\n\r\n";
+      if (write(fd, cont, sizeof cont - 1) < 0) {
+        close(fd);
+        continue;
+      }
+    }
+    if (body_got > g_in_sig.total_bytes) body_got = g_in_sig.total_bytes;
+    memcpy(body, head + head_len, body_got);
+    while (body_got < g_in_sig.total_bytes) {
+      ssize_t r = read(fd, body + body_got, g_in_sig.total_bytes - body_got);
+      if (r <= 0) break;
+      body_got += (size_t)r;
+    }
+    if (body_got < g_in_sig.total_bytes) {
+      close(fd);
+      continue;
+    }
+    double dt = run_once(body, out);
+    served++;
+    http_reply(fd, 200, "OK", "application/octet-stream", shape_hdr, out,
+               g_out_sig.total_bytes);
+    close(fd);
+    if (served % 16 == 1)
+      printf("served %ld (last inference %.3fs)\n", served, dt), fflush(stdout);
+  }
+  return 0; /* unreachable */
+}
+
 int main(int argc, char** argv) {
   const char* base = NULL;
   const char* plugin = DEFAULT_PLUGIN;
   const char* input_path = NULL;
   const char* output_path = NULL;
   int loops = 1;
+  int serve_port = 0;
   for (int i = 1; i < argc; i++) {
     if (strcmp(argv[i], "--plugin") == 0 && i + 1 < argc)
       plugin = argv[++i];
@@ -188,12 +451,14 @@ int main(int argc, char** argv) {
       output_path = argv[++i];
     else if (strcmp(argv[i], "--loops") == 0 && i + 1 < argc)
       loops = atoi(argv[++i]);
+    else if (strcmp(argv[i], "--serve") == 0 && i + 1 < argc)
+      serve_port = atoi(argv[++i]);
     else if (argv[i][0] != '-' && base == NULL)
       base = argv[i];
     else {
       fprintf(stderr,
               "usage: %s <bundle_base> [--plugin SO] [--input RAW] "
-              "[--output RAW] [--loops N]\n",
+              "[--output RAW] [--loops N] [--serve PORT]\n",
               argv[0]);
       return 2;
     }
@@ -321,87 +586,17 @@ int main(int argc, char** argv) {
   }
 
   char* result = (char*)malloc(out_sig.total_bytes);
+  g_client = client;
+  g_device = device;
+  g_exec = exec;
+  g_in_sig = in_sig;
+  g_out_sig = out_sig;
+
+  if (serve_port > 0) return serve_http(serve_port);
+
   double best = 1e30, total = 0.0;
   for (int it = 0; it < loops; it++) {
-    double ts = now_s();
-
-    PJRT_Client_BufferFromHostBuffer_Args hb;
-    memset(&hb, 0, sizeof hb);
-    hb.struct_size = PJRT_Client_BufferFromHostBuffer_Args_STRUCT_SIZE;
-    hb.client = client;
-    hb.data = input;
-    hb.type = in_sig.type;
-    hb.dims = in_sig.dims;
-    hb.num_dims = in_sig.num_dims;
-    hb.host_buffer_semantics =
-        PJRT_HostBufferSemantics_kImmutableUntilTransferCompletes;
-    hb.device = device;
-    check(g_api->PJRT_Client_BufferFromHostBuffer(&hb),
-          "PJRT_Client_BufferFromHostBuffer");
-    await_event(hb.done_with_host_buffer, "host->device transfer");
-    PJRT_Buffer* inbuf = hb.buffer;
-
-    PJRT_ExecuteOptions eo;
-    memset(&eo, 0, sizeof eo);
-    eo.struct_size = PJRT_ExecuteOptions_STRUCT_SIZE;
-
-    PJRT_Buffer* args_dev0[1] = {inbuf};
-    PJRT_Buffer* const* arg_lists[1] = {args_dev0};
-    PJRT_Buffer* out_dev0[1] = {NULL};
-    PJRT_Buffer** out_lists[1] = {out_dev0};
-    PJRT_Event* done[1] = {NULL};
-
-    PJRT_LoadedExecutable_Execute_Args ex;
-    memset(&ex, 0, sizeof ex);
-    ex.struct_size = PJRT_LoadedExecutable_Execute_Args_STRUCT_SIZE;
-    ex.executable = exec;
-    ex.options = &eo;
-    ex.argument_lists = arg_lists;
-    ex.num_devices = 1;
-    ex.num_args = 1;
-    ex.output_lists = out_lists;
-    ex.device_complete_events = done;
-    check(g_api->PJRT_LoadedExecutable_Execute(&ex),
-          "PJRT_LoadedExecutable_Execute");
-    await_event(done[0], "device execution");
-
-    /* Demand dense row-major bytes. With host_layout NULL the copy comes
-     * back in the DEVICE buffer's layout — on TPU that reorders the minor
-     * dims of a (1,H,W,3) u8 tensor, which scrambles channels in the flat
-     * bytes (measured: a clean 3-cycle channel permutation vs the Python
-     * runner until this was set). The plugin accepts only Tiled layouts
-     * here (what jaxlib's ToLiteral passes): dense row-major is
-     * minor_to_major = [N-1, ..., 0] with no tiles. */
-    int64_t minor_to_major[8];
-    for (size_t d = 0; d < out_sig.num_dims; d++)
-      minor_to_major[d] = (int64_t)(out_sig.num_dims - 1 - d);
-    PJRT_Buffer_MemoryLayout host_layout;
-    memset(&host_layout, 0, sizeof host_layout);
-    host_layout.struct_size = PJRT_Buffer_MemoryLayout_STRUCT_SIZE;
-    host_layout.type = PJRT_Buffer_MemoryLayout_Type_Tiled;
-    host_layout.tiled.struct_size = PJRT_Buffer_MemoryLayout_Tiled_STRUCT_SIZE;
-    host_layout.tiled.minor_to_major = minor_to_major;
-    host_layout.tiled.minor_to_major_size = out_sig.num_dims;
-
-    PJRT_Buffer_ToHostBuffer_Args th;
-    memset(&th, 0, sizeof th);
-    th.struct_size = PJRT_Buffer_ToHostBuffer_Args_STRUCT_SIZE;
-    th.src = out_dev0[0];
-    th.host_layout = &host_layout;
-    th.dst = result;
-    th.dst_size = out_sig.total_bytes;
-    check(g_api->PJRT_Buffer_ToHostBuffer(&th), "PJRT_Buffer_ToHostBuffer");
-    await_event(th.event, "device->host transfer");
-
-    PJRT_Buffer_Destroy_Args bd;
-    memset(&bd, 0, sizeof bd);
-    bd.struct_size = PJRT_Buffer_Destroy_Args_STRUCT_SIZE;
-    bd.buffer = out_dev0[0];
-    check(g_api->PJRT_Buffer_Destroy(&bd), "PJRT_Buffer_Destroy(out)");
-    bd.buffer = inbuf;
-    check(g_api->PJRT_Buffer_Destroy(&bd), "PJRT_Buffer_Destroy(in)");
-
-    double dt = now_s() - ts;
+    double dt = run_once(input, result);
     total += dt;
     if (dt < best) best = dt;
     uint64_t checksum = 0;
