@@ -65,7 +65,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "ladder rung per shape — before serving starts. A "
                         "cold compile is minutes on a remote-compile link; "
                         "without warmup it lands on the first matching "
-                        "request")
+                        "request. --http defaults to warming the bucket "
+                        "shape's full ladder even without this flag")
+    p.add_argument("--noWarmup", action="store_true",
+                   help="skip the default --http startup warmup (requests "
+                        "then pay the cold compiles, including the "
+                        "documented mid-run top-of-ladder one)")
     p.add_argument("--outputDtype", choices=["float32", "uint8"],
                    default="float32",
                    help="uint8 quantises results on device (round((y+1)*"
@@ -213,6 +218,17 @@ def main(argv=None):
             raise SystemExit(
                 f"--warmup must look like '384x512,720x1280', got {opt.warmup!r}"
             )
+    elif opt.http and not opt.noWarmup:
+        # default-warm the full ladder at the bucket shape BEFORE binding
+        # the port: an unwarmed server reachable on the network hits the
+        # documented mid-run top-of-ladder compile (minutes over a
+        # remote-compile link) the first time concurrency climbs a rung.
+        # Pass --warmup with the real expected shapes for full coverage,
+        # or --noWarmup to skip.
+        shapes = [(opt.bucket, opt.bucket)]
+    else:
+        shapes = []
+    if shapes:
         t0 = time.time()
         engine.warmup(shapes)
         print(

@@ -78,24 +78,51 @@ class AsyncCheckpointer:
         )
         self._thread.start()
 
-    def wait(self, timeout: Optional[float] = None) -> None:
+    def wait(self, timeout: Optional[float] = None) -> bool:
+        """Join the in-flight writer. Returns True when no write remains in
+        flight. On a timed-out join the thread handle is KEPT (dropping it
+        would let the next ``save()`` start a second concurrent writer — the
+        slower, older ``os.replace`` could then win and leave a stale
+        checkpoint on disk); the caller can ``wait()`` again."""
         if self._thread is not None:
             self._thread.join(timeout)
+            if self._thread.is_alive():  # join timed out — still in flight
+                return False
             self._thread = None
         if self._err:
             raise self._err.pop(0)
+        return True
 
 
 def load_checkpoint(path: str, target: Any) -> Any:
-    """Restore into a template pytree of the right structure."""
+    """Restore into a template pytree of the right structure.
+
+    Validates every leaf's shape AND dtype against the template — a
+    same-leaf-count checkpoint from a different model family must fail
+    here with the offending parameter named, not later as a cryptic
+    broadcast error inside jit."""
     with open(path, "rb") as f:
         flat = serialization.msgpack_restore(f.read())
     leaves = [flat[str(i)] for i in range(len(flat))]
-    treedef = jax.tree.structure(target)
+    paths_and_tleaves, treedef = jax.tree_util.tree_flatten_with_path(target)
     if treedef.num_leaves != len(leaves):
         raise ValueError(
             f"checkpoint has {len(leaves)} leaves, target expects {treedef.num_leaves}"
         )
+    for (keypath, tleaf), leaf in zip(paths_and_tleaves, leaves):
+        tshape, lshape = getattr(tleaf, "shape", None), getattr(leaf, "shape", None)
+        if tshape is not None and lshape is not None and tuple(tshape) != tuple(lshape):
+            raise ValueError(
+                f"checkpoint leaf {jax.tree_util.keystr(keypath)} has shape "
+                f"{tuple(lshape)}, target expects {tuple(tshape)} — wrong "
+                f"model family or config for this checkpoint?"
+            )
+        tdt, ldt = getattr(tleaf, "dtype", None), getattr(leaf, "dtype", None)
+        if tdt is not None and ldt is not None and tdt != ldt:
+            raise ValueError(
+                f"checkpoint leaf {jax.tree_util.keystr(keypath)} has dtype "
+                f"{ldt}, target expects {tdt}"
+            )
     return jax.tree.unflatten(treedef, leaves)
 
 

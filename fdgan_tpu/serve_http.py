@@ -71,6 +71,11 @@ class BatchingFrontend:
         self._stop = object()
         self._closed = False
         self._error: Optional[BaseException] = None
+        # serialises the _closed/_error checks against _q.put: without it a
+        # submit racing close() can enqueue AFTER the stop sentinel, and its
+        # Future would never resolve (the HTTP thread then blocks for the
+        # full request_timeout)
+        self._lock = threading.Lock()
         self._thread = threading.Thread(
             target=self._run, name="fdgan-dispatch", daemon=True
         )
@@ -92,10 +97,36 @@ class BatchingFrontend:
             )
             for y in results:
                 self._futs.popleft().set_result(y)
-        except BaseException as e:  # pragma: no cover - defensive
-            self._error = e
+        except BaseException as e:
+            with self._lock:
+                self._error = e  # set under the lock: submit() checks it there
             while self._futs:
                 self._futs.popleft().set_exception(e)
+            self._drain_queue(e)
+
+    def _drain_queue(self, exc: BaseException) -> None:
+        """Fail every (img, fut) still sitting in the staging queue.
+
+        Items the dead dispatcher never pulled have no entry in _futs, so
+        without this their Futures would hang for the caller's full
+        request timeout. Runs after _error is published under the lock, so
+        no new item can be enqueued once the drain starts."""
+        while True:
+            try:
+                item = self._q.get_nowait()
+            except queue.Empty:
+                return
+            if item is not self._stop:
+                item[1].set_exception(exc)
+
+    @property
+    def healthy(self) -> bool:
+        """False once the dispatcher died (its error is in ``error``)."""
+        return self._error is None and self._thread.is_alive()
+
+    @property
+    def error(self) -> Optional[BaseException]:
+        return self._error
 
     def submit(self, image: np.ndarray) -> Future:
         """Enqueue one HWC image (float [0,1] or uint8 [0,255] — both are
@@ -104,17 +135,18 @@ class BatchingFrontend:
 
         Validation happens HERE (not in the stream) so one malformed
         request cannot poison the shared dispatcher."""
-        if self._error is not None:
-            raise RuntimeError("serving dispatcher died") from self._error
-        if self._closed:
-            raise RuntimeError("frontend is closed")
         img = np.asarray(image)
         if img.dtype != np.uint8:  # uint8 passes through untouched
             img = np.asarray(img, np.float32)
         if img.ndim != 3 or img.shape[-1] != 3:
             raise ValueError(f"expected HWC RGB image, got shape {img.shape}")
         fut: Future = Future()
-        self._q.put((img, fut))
+        with self._lock:
+            if self._error is not None:
+                raise RuntimeError("serving dispatcher died") from self._error
+            if self._closed:
+                raise RuntimeError("frontend is closed")
+            self._q.put((img, fut))
         return fut
 
     @property
@@ -123,10 +155,16 @@ class BatchingFrontend:
 
     def close(self, timeout: float = 60.0) -> None:
         """Drain in-flight work and stop the dispatcher (idempotent)."""
-        if not self._closed:
-            self._closed = True
-            self._q.put(self._stop)
+        with self._lock:
+            if not self._closed:
+                self._closed = True
+                self._q.put(self._stop)
         self._thread.join(timeout=timeout)
+        if self._error is None and not self._thread.is_alive():
+            # normal shutdown with stragglers racing the sentinel is
+            # impossible now (the lock orders them), but a dispatcher that
+            # died DURING close still leaves queue items to fail
+            self._drain_queue(RuntimeError("frontend is closed"))
 
 
 def _decode_request_image(body: bytes, as_uint8: bool = False) -> np.ndarray:
@@ -159,6 +197,7 @@ def make_server(
     depth: int = 4,
     request_timeout: float = 900.0,
     max_body_bytes: int = 64 * 1024 * 1024,
+    restart_limit: int = 1,
 ) -> ThreadingHTTPServer:
     """Build (but don't start) the HTTP server wrapping ``engine``.
 
@@ -173,9 +212,41 @@ def make_server(
     The returned server carries its
     :class:`BatchingFrontend` as ``server.frontend``; ``server.shutdown()``
     followed by ``server.frontend.close()`` is the clean stop sequence
-    (``serve_forever`` below does both on KeyboardInterrupt)."""
-    frontend = BatchingFrontend(engine, max_wait=max_wait, depth=depth)
+    (``serve_forever`` below does both on KeyboardInterrupt).
+
+    If the dispatcher dies (e.g. the documented transient TPU
+    ``FAILED_PRECONDITION`` on a first dispatch), the server recreates the
+    frontend up to ``restart_limit`` times; once exhausted,
+    ``GET /healthz`` reports ``ok: false`` with HTTP 503 so an
+    orchestrator's liveness probe recycles the pod instead of routing to a
+    zombie."""
     uint8_in = getattr(engine, "input", "float32") == "uint8"
+
+    class _FrontendState:
+        """Current frontend + bounded restart budget, shared by handlers."""
+
+        def __init__(self):
+            self.lock = threading.Lock()
+            self.frontend = BatchingFrontend(engine, max_wait=max_wait, depth=depth)
+            self.restarts_left = int(restart_limit)
+
+        def maybe_restart(self, dead) -> bool:
+            """Replace ``dead`` with a fresh frontend if budget remains.
+
+            Returns True when the caller should retry its submit. Under the
+            lock so concurrent failing requests trigger ONE restart."""
+            with self.lock:
+                if self.frontend is not dead:
+                    return True  # someone else already restarted
+                if self.restarts_left <= 0 or dead.healthy:
+                    return False
+                self.restarts_left -= 1
+                self.frontend = BatchingFrontend(
+                    engine, max_wait=max_wait, depth=depth
+                )
+                return True
+
+    state = _FrontendState()
 
     class Handler(BaseHTTPRequestHandler):
         # one TCP connection per request is fine for an inference API;
@@ -197,23 +268,40 @@ def make_server(
             if self.path == "/healthz":
                 import jax
 
-                self._json(
-                    200,
-                    {
-                        "ok": True,
-                        "devices": [str(d) for d in jax.devices()],
-                        "bn_mode": engine.bn_mode,
-                        "bucket": engine.bucket,
-                        "batch_sizes": list(engine.batch_sizes),
-                    },
-                )
+                fe = state.frontend
+                # a dead dispatcher with restart budget left is still
+                # serviceable (the next POST restarts it); only a dead one
+                # with no budget makes the pod a zombie → 503
+                ok = fe.healthy or state.restarts_left > 0
+                payload = {
+                    "ok": ok,
+                    "devices": [str(d) for d in jax.devices()],
+                    "bn_mode": engine.bn_mode,
+                    "bucket": engine.bucket,
+                    "batch_sizes": list(engine.batch_sizes),
+                    "dispatcher_alive": fe.healthy,
+                    "restarts_left": state.restarts_left,
+                }
+                if fe.error is not None:
+                    payload["error"] = repr(fe.error)
+                self._json(200 if ok else 503, payload)
             elif self.path == "/stats":
                 with engine._lock:
                     stats = dict(engine.stats)
-                stats["queue_depth"] = frontend.queue_depth
+                stats["queue_depth"] = state.frontend.queue_depth
                 self._json(200, stats)
             else:
                 self._json(404, {"error": f"unknown path {self.path}"})
+
+        def _submit_with_restart(self, img):
+            """submit(), restarting the frontend once if its dispatcher died."""
+            while True:
+                fe = state.frontend
+                try:
+                    return fe.submit(img)
+                except RuntimeError:
+                    if not state.maybe_restart(fe):
+                        raise
 
         def do_POST(self):
             path, _, query = self.path.partition("?")
@@ -239,9 +327,13 @@ def make_server(
                     return
                 body = self.rfile.read(n)
                 img = _decode_request_image(body, as_uint8=uint8_in)
-                fut = frontend.submit(img)
             except Exception as e:
                 self._json(400, {"error": f"bad image: {e}"})
+                return
+            try:
+                fut = self._submit_with_restart(img)
+            except Exception as e:
+                self._json(503, {"error": f"serving unavailable: {e}"})
                 return
             try:
                 out = fut.result(timeout=request_timeout)
@@ -268,9 +360,15 @@ def make_server(
             self.end_headers()
             self.wfile.write(payload)
 
-    server = ThreadingHTTPServer((host, port), Handler)
-    server.daemon_threads = True
-    server.frontend = frontend  # type: ignore[attr-defined]
+    class _Server(ThreadingHTTPServer):
+        daemon_threads = True
+
+        @property
+        def frontend(self):  # always the CURRENT frontend (restarts swap it)
+            return state.frontend
+
+    server = _Server((host, port), Handler)
+    server.frontend_state = state  # type: ignore[attr-defined]
     return server
 
 

