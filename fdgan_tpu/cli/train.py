@@ -137,6 +137,11 @@ def main(argv=None):
 
     from fdgan_tpu.cli._common import enable_compile_cache
 
+    if os.environ.get("FDGAN_TPU_PLATFORM"):
+        # the axon plugin's sitecustomize overrides JAX_PLATFORMS; this is
+        # the config-level override that actually wins (multi-process CPU
+        # tests and debugging)
+        jax.config.update("jax_platforms", os.environ["FDGAN_TPU_PLATFORM"])
     enable_compile_cache()
     if opt.debugNans:
         jax.config.update("jax_debug_nans", True)
@@ -145,25 +150,60 @@ def main(argv=None):
         jax.config.update("jax_default_matmul_precision", "highest")
 
     from fdgan_tpu.data import get_loader
-    from fdgan_tpu.dist.mesh import make_mesh, shard_batch, shard_params
+    from fdgan_tpu.dist.mesh import (
+        make_mesh,
+        maybe_init_distributed,
+        shard_batch,
+        shard_params,
+    )
     from fdgan_tpu.io.checkpoint import latest_checkpoint, load_checkpoint, save_checkpoint
     from fdgan_tpu.losses.composite import LossWeights
+
+    # multi-process entry (FDGAN_TPU_DIST=1 + coordinates env, e.g. a v5e
+    # pod slice across hosts, or the 2-process CPU parity test) — must run
+    # before anything touches a backend
+    maybe_init_distributed()
+    nprocs = jax.process_count()
+    pid = jax.process_index()
+    is_main = pid == 0
+    if nprocs > 1:
+        if opt.deviceSteps > 0:
+            raise SystemExit(
+                "--deviceSteps stages the dataset on locally-addressable "
+                "devices and is single-process for now; drop it under "
+                "FDGAN_TPU_DIST"
+            )
+        if opt.batchSize % nprocs:
+            raise SystemExit(
+                f"--batchSize {opt.batchSize} (global) must divide by the "
+                f"{nprocs} processes"
+            )
+        if opt.poolSize > 0 and opt.spatialShards > 1:
+            raise SystemExit(
+                "--poolSize with --spatialShards is single-process only "
+                "(the host-side pool pools full-H local rows)"
+            )
+        print(f"multi-process: {nprocs} processes x "
+              f"{len(jax.local_devices())} local devices = "
+              f"{len(jax.devices())} global; this is process {pid}")
     from fdgan_tpu.train.loop import create_train_state, make_train_step
     from fdgan_tpu.train.meters import AverageMeter, MetricLogger, create_exp_dir
 
     create_exp_dir(opt.exp)
     rng = jax.random.PRNGKey(opt.seed)
 
+    local_batch = opt.batchSize // nprocs  # == batchSize single-process
     loader = get_loader(
         opt.dataset,
         opt.dataroot,
         opt.originalSize,
         opt.imageSize,
-        batch_size=opt.batchSize,
+        batch_size=local_batch,
         workers=opt.workers,
         split="train",
         shuffle=True,
-        seed=opt.seed,
+        seed=opt.seed,  # same seed everywhere: shards stay step-aligned
+        shard=(pid, nprocs),
     )
 
     state, tx_g, tx_d = create_train_state(
@@ -276,7 +316,19 @@ def main(argv=None):
     state.g_params = shard_params(state.g_params, mesh)
     state.d_params = shard_params(state.d_params, mesh)
 
-    logger = MetricLogger(os.path.join(opt.exp, "train_log.jsonl"), opt.logEvery)
+    if is_main:
+        logger = MetricLogger(os.path.join(opt.exp, "train_log.jsonl"), opt.logEvery)
+    else:
+        # non-main processes run the same collective program but write
+        # nothing (a shared exp dir would otherwise interleave JSONL lines)
+        class _NullLogger:
+            def log(self, *a, **k):
+                pass
+
+            def close(self):
+                pass
+
+        logger = _NullLogger()
     meter = AverageMeter()
     step_rng = jax.random.PRNGKey(opt.seed + 1)
 
@@ -318,11 +370,20 @@ def main(argv=None):
             vg = np.stack([np.asarray(g) for _, g in val_loader])
         except ValueError:  # ragged val shapes — keep the host loop
             vh = vg = None
-        if vh is not None:
+        if vh is not None and nprocs == 1:
             from fdgan_tpu.train.loop import make_device_eval
 
             dev_eval = make_device_eval(vh, vg)
             evaluate_fn = lambda p: tuple(float(x) for x in dev_eval(p))
+    if nprocs > 1 and val_loader is not None:
+        # multi-process: the generator params are GLOBAL (replicated)
+        # arrays — a local, non-collective eval jit can't take them.
+        # They're fully replicated, so fetch once per eval and run the
+        # host-loop eval on local devices (main process only).
+        _host_eval = evaluate
+
+        def evaluate_fn(g_params):
+            return _host_eval(jax.device_get(g_params))
 
     # --keepBest: snapshot the generator at the best val PSNR seen so far.
     # The train step donates its state, so a held reference would be a
@@ -343,14 +404,19 @@ def main(argv=None):
             prev = json.load(f)
         best.update(psnr=prev["psnr"], step=prev["step"])
         print(f"existing best kept as the bar: {prev['psnr']:.2f} dB @ {prev['step']}")
-    copy_tree = jax.jit(lambda t: jax.tree.map(lambda x: x.copy(), t))
+    if nprocs > 1:
+        # a local jit can't copy global arrays; they're replicated, so a
+        # host fetch is the snapshot (slower, but correct and rare)
+        copy_tree = jax.device_get
+    else:
+        copy_tree = jax.jit(lambda t: jax.tree.map(lambda x: x.copy(), t))
 
     def track_best(psnr, g_params, step):
         if opt.keepBest and psnr > best["psnr"]:
             best.update(psnr=psnr, params=copy_tree(g_params), step=step)
 
     def save_best():
-        if best["params"] is None or best.get("saved"):
+        if best["params"] is None or best.get("saved") or not is_main:
             return
         best["saved"] = True
         save_checkpoint(best_path, best["params"])
@@ -374,7 +440,7 @@ def main(argv=None):
 
         atexit.register(_save_best_at_exit)
 
-    if val_loader is not None and opt.evalIter:
+    if val_loader is not None and opt.evalIter and is_main:
         # step-0 baseline so the logged val trend is self-contained
         v_psnr, v_ssim = evaluate_fn(state.g_params)
         logger.log(int(state.step), {"val_psnr": v_psnr, "val_ssim": v_ssim})
@@ -526,13 +592,25 @@ def main(argv=None):
     for epoch in range(opt.epochs):
         t_epoch = time.time()
         for haze, gt in loader:
-            if haze.shape[0] % n_data or haze.shape[0] % opt.accumSteps:
+            if nprocs > 1:
+                if haze.shape[0] != local_batch:
+                    continue  # ragged LOCAL batch (same skip on every process
+                    # — shards are equal-length and share the shuffle seed)
+            elif haze.shape[0] % n_data or haze.shape[0] % opt.accumSteps:
                 continue  # ragged final batch (DP shards / accum microbatches)
             batch = shard_batch((haze, gt), mesh, spatial=n_sp > 1)
             step_rng, sub = jax.random.split(step_rng)
             if use_pool:
                 state, metrics, x_hat = g_step(state, batch[0], batch[1])
-                fake = pool.query(jax.lax.stop_gradient(x_hat))  # tanh range, remapped inside d loss
+                fake_src = jax.lax.stop_gradient(x_hat)
+                if nprocs > 1:
+                    # each process pools its LOCAL shard of the fakes (the
+                    # global array spans non-addressable devices); per-
+                    # process history is the sharded-pool equivalent
+                    fake_src = np.concatenate(
+                        [np.asarray(s.data) for s in fake_src.addressable_shards]
+                    )
+                fake = pool.query(fake_src)  # tanh range, remapped inside d loss
                 # the pool round-trips through the host — re-shard the fake
                 # batch so the D step keeps the mesh layout (matters for SP)
                 fake = shard_batch(fake, mesh, spatial=n_sp > 1)
@@ -543,17 +621,20 @@ def main(argv=None):
             step = int(state.step)
             if step % opt.logEvery == 0:
                 m = {k: float(v) for k, v in metrics.items()}
-                m["imgs_per_sec"] = haze.shape[0] * opt.logEvery / max(time.time() - t_log, 1e-9)
+                # global batch rows = local rows x processes
+                m["imgs_per_sec"] = haze.shape[0] * nprocs * opt.logEvery / max(time.time() - t_log, 1e-9)
                 t_log = time.time()
                 logger.log(step, m)
                 meter.update(m.get("g_total", 0.0))
-            if val_loader is not None and opt.evalIter and step % opt.evalIter == 0:
+            if (val_loader is not None and opt.evalIter
+                    and step % opt.evalIter == 0 and is_main):
                 v_psnr, v_ssim = evaluate_fn(state.g_params)
                 logger.log(step, {"val_psnr": v_psnr, "val_ssim": v_ssim})
                 track_best(v_psnr, state.g_params, step)
-        if (epoch + 1) % max(opt.ckptEvery, 1) == 0 or epoch == opt.epochs - 1:
+        if is_main and ((epoch + 1) % max(opt.ckptEvery, 1) == 0 or epoch == opt.epochs - 1):
             save_checkpoint(opt.exp, state, step=int(state.step))
-        print(f"epoch {epoch} done in {time.time() - t_epoch:.1f}s; avg g_loss {meter.avg:.4f}")
+        if is_main:
+            print(f"epoch {epoch} done in {time.time() - t_epoch:.1f}s; avg g_loss {meter.avg:.4f}")
     save_best()
     if opt.keepBest:
         import atexit

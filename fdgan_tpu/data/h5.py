@@ -179,6 +179,31 @@ def device_prefetch(iterator, sharding=None, size: int = 2):
         yield out
 
 
+class ShardedDataset:
+    """A strided per-process view of an indexable dataset for multi-process
+    training: process ``pid`` of ``nprocs`` sees global items
+    ``pid, pid+nprocs, pid+2*nprocs, ...``, truncated to the MINIMUM shard
+    size so every process yields the same number of batches (a mismatched
+    count would leave one process dispatching a collective program the
+    others never enter — a distributed hang, not an error)."""
+
+    def __init__(self, dataset, pid: int, nprocs: int):
+        if not (0 <= pid < nprocs):
+            raise ValueError(f"pid {pid} out of range for {nprocs} processes")
+        self.dataset = dataset
+        self.pid = pid
+        self.nprocs = nprocs
+        self._len = len(dataset) // nprocs  # min shard size across processes
+
+    def __len__(self) -> int:
+        return self._len
+
+    def __getitem__(self, j: int):
+        if not (0 <= j < self._len):
+            raise IndexError(j)
+        return self.dataset[self.pid + j * self.nprocs]
+
+
 def get_loader(
     dataset_name: str,
     dataroot: str,
@@ -191,6 +216,7 @@ def get_loader(
     split: str = "train",
     shuffle: bool = True,
     seed: Optional[int] = None,
+    shard: Optional[tuple] = None,
 ) -> DataLoader:
     """`misc.getLoader`/`getLoader1` equivalent (misc.py:25-116). The
     reference passes an empty transform chain for the 'pix2pix' train split
@@ -221,6 +247,10 @@ def get_loader(
         )
     else:
         raise ValueError(f"unknown dataset {dataset_name!r}")
+    if shard is not None and shard[1] > 1:
+        # multi-process training: each process loads only its strided slice
+        # of the file list (batch_size here is the LOCAL batch)
+        dataset = ShardedDataset(dataset, int(shard[0]), int(shard[1]))
     return DataLoader(
         dataset,
         batch_size=batch_size,

@@ -23,22 +23,52 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def maybe_init_distributed() -> None:
-    """Initialise multi-host JAX when launched under a cluster env.
+    """Initialise multi-process JAX when launched under a cluster env.
 
-    Failures are logged, not swallowed silently: a cluster job that falls
-    back to single-host should say so loudly."""
-    if os.environ.get("FDGAN_TPU_DIST", "") and jax.process_count() == 1:
-        try:
-            jax.distributed.initialize()
-        except Exception as e:  # already initialised or single-host
-            import warnings
+    Opt-in via ``FDGAN_TPU_DIST=1``. With just the flag set, coordinates
+    are auto-detected (``jax.distributed.initialize()`` with no arguments —
+    the TPU-pod / cluster-manager path). For explicit launches (a v5e pod
+    slice across hosts, or the 2-process CPU test in
+    tests/test_multiprocess.py) the coordinates come from::
 
-            warnings.warn(
-                f"FDGAN_TPU_DIST is set but jax.distributed.initialize() "
-                f"failed ({type(e).__name__}: {e}); continuing single-host",
-                RuntimeWarning,
-                stacklevel=2,
-            )
+        FDGAN_TPU_DIST_COORD=host:port   coordinator address
+        FDGAN_TPU_DIST_NPROCS=N          number of processes
+        FDGAN_TPU_DIST_PID=i             this process's id
+
+    MUST run before anything touches a JAX backend — even
+    ``jax.process_count()`` would initialise single-process and make the
+    real initialize() fail. Failures are logged, not swallowed silently: a
+    cluster job that falls back to single-host should say so loudly."""
+    if not os.environ.get("FDGAN_TPU_DIST", ""):
+        return
+    coord = os.environ.get("FDGAN_TPU_DIST_COORD") or None
+    nprocs = os.environ.get("FDGAN_TPU_DIST_NPROCS")
+    pid = os.environ.get("FDGAN_TPU_DIST_PID")
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coord,
+            num_processes=int(nprocs) if nprocs is not None else None,
+            process_id=int(pid) if pid is not None else None,
+        )
+    except Exception as e:  # already initialised or single-host
+        import warnings
+
+        warnings.warn(
+            f"FDGAN_TPU_DIST is set but jax.distributed.initialize() "
+            f"failed ({type(e).__name__}: {e}); continuing single-host",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+
+
+def process_shard(seq: Sequence) -> Sequence:
+    """This process's strided shard of a (deterministically ordered)
+    work list — e.g. the sorted h5 file list in multi-process training.
+    Identity when single-process."""
+    n = jax.process_count()
+    if n == 1:
+        return seq
+    return seq[jax.process_index()::n]
 
 
 def make_mesh(
@@ -72,13 +102,28 @@ def replicate_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def _put(x, sharding):
+    """device_put single-process; assemble a global array from this
+    process's local shard under multi-process (each process passes ITS
+    slice of the batch; for a replicated spec every process passes the
+    full, identical value)."""
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+
+
 def shard_batch(batch, mesh: Mesh, spatial: bool = False):
-    """Device-put a host batch with the DP (+SP) layout."""
+    """Device-put a host batch with the DP (+SP) layout.
+
+    Multi-process: ``batch`` is this process's LOCAL slice (global batch //
+    process_count rows); the returned arrays are global."""
     sharding = batch_sharding(mesh, 1 if spatial else None)
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+    return jax.tree.map(lambda x: _put(x, sharding), batch)
 
 
 def shard_params(params, mesh: Mesh):
     """Replicate parameters across the mesh (model is ~1e7 params — far
-    below the threshold where TP would pay; SURVEY.md §2.8)."""
-    return jax.tree.map(lambda x: jax.device_put(x, replicate_sharding(mesh)), params)
+    below the threshold where TP would pay; SURVEY.md §2.8). Multi-process:
+    every process passes the same host values (same PRNG seed / same
+    checkpoint), which IS the replicated global array."""
+    return jax.tree.map(lambda x: _put(x, replicate_sharding(mesh)), params)

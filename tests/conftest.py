@@ -52,6 +52,7 @@ SLOW_MODULES = {
     "test_pallas_dense",
     "test_serve",
     "test_tiling_fdgan",
+    "test_multiprocess",
     "test_native_runner",
     "test_train",
     "test_train_pool",
