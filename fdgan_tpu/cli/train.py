@@ -370,6 +370,15 @@ def main(argv=None):
             vg = np.stack([np.asarray(g) for _, g in val_loader])
         except ValueError:  # ragged val shapes — keep the host loop
             vh = vg = None
+        if vh is not None and vh.nbytes + vg.nbytes > 2e9:
+            # mirror the --deviceSteps staging guard: a big val set must
+            # stream through the host loop, not permanently crowd training
+            # state out of HBM (ADVICE r4)
+            print(
+                f"val set is {(vh.nbytes + vg.nbytes)/1e9:.1f} GB stacked — "
+                "using the streaming host eval loop instead of staging it"
+            )
+            vh = vg = None
         if vh is not None and nprocs == 1:
             from fdgan_tpu.train.loop import make_device_eval
 
