@@ -176,3 +176,38 @@ def test_classification_h5(tmp_path, np_rng):
     haze, label = ds[0]
     assert haze.shape == (8, 8, 3)
     assert label == 1.0  # mean - 1
+
+
+def test_sharded_dataset_strided_and_truncated():
+    """Multi-process view: process p of n sees items p, p+n, ...; lengths
+    are truncated to the MIN shard so every process steps the same number
+    of (collective) batches even when the file count is odd."""
+    from fdgan_tpu.data.h5 import ShardedDataset
+
+    base = list(range(9))  # odd: naive shards would be 5 and 4 → hang
+
+    s0 = ShardedDataset(base, 0, 2)
+    s1 = ShardedDataset(base, 1, 2)
+    assert len(s0) == len(s1) == 4
+    assert [s0[j] for j in range(4)] == [0, 2, 4, 6]
+    assert [s1[j] for j in range(4)] == [1, 3, 5, 7]
+    with pytest.raises(IndexError):
+        s0[4]  # item 8 is truncated away, not silently readable
+    with pytest.raises(ValueError):
+        ShardedDataset(base, 2, 2)
+    # single "process" is the identity view
+    sd = ShardedDataset(base, 0, 1)
+    assert len(sd) == 9 and sd[8] == 8
+
+
+def test_get_loader_shard_dispatch(tmp_path, np_rng):
+    from fdgan_tpu.data import get_loader
+
+    for i in range(6):
+        with h5py.File(tmp_path / f"{i}.h5", "w") as f:
+            f.create_dataset("gt", data=np.full((4, 4, 3), i, np.float32))
+            f.create_dataset("haze", data=np.full((4, 4, 3), i, np.float32))
+    loader = get_loader("pix2pix", str(tmp_path), 4, 4, batch_size=1,
+                        workers=0, shuffle=False, shard=(1, 2))
+    vals = [float(h[0, 0, 0, 0]) for h, _ in loader]
+    assert vals == [1.0, 3.0, 5.0]
