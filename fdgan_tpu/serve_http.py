@@ -38,6 +38,7 @@ import io
 import json
 import queue
 import threading
+import time
 from concurrent.futures import Future
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
@@ -76,6 +77,10 @@ class BatchingFrontend:
         # Future would never resolve (the HTTP thread then blocks for the
         # full request_timeout)
         self._lock = threading.Lock()
+        # submit→result latency of the last 512 requests (staging wait +
+        # device time + result fetch — what a client actually experiences
+        # minus HTTP parse/encode); powers the /stats percentiles
+        self._latencies: collections.deque = collections.deque(maxlen=512)
         self._thread = threading.Thread(
             target=self._run, name="fdgan-dispatch", daemon=True
         )
@@ -86,8 +91,8 @@ class BatchingFrontend:
             item = self._q.get()
             if item is self._stop:
                 return
-            img, fut = item
-            self._futs.append(fut)
+            img, fut, t0 = item
+            self._futs.append((fut, t0))
             yield img
 
     def _run(self):
@@ -96,12 +101,14 @@ class BatchingFrontend:
                 self._gen(), depth=self._depth, max_wait=self._max_wait
             )
             for y in results:
-                self._futs.popleft().set_result(y)
+                fut, t0 = self._futs.popleft()
+                self._latencies.append(time.monotonic() - t0)
+                fut.set_result(y)
         except BaseException as e:
             with self._lock:
                 self._error = e  # set under the lock: submit() checks it there
             while self._futs:
-                self._futs.popleft().set_exception(e)
+                self._futs.popleft()[0].set_exception(e)
             self._drain_queue(e)
 
     def _drain_queue(self, exc: BaseException) -> None:
@@ -146,12 +153,26 @@ class BatchingFrontend:
                 raise RuntimeError("serving dispatcher died") from self._error
             if self._closed:
                 raise RuntimeError("frontend is closed")
-            self._q.put((img, fut))
+            self._q.put((img, fut, time.monotonic()))
         return fut
 
     @property
     def queue_depth(self) -> int:
         return self._q.qsize() + len(self._futs)
+
+    def latency_stats(self) -> dict:
+        """Percentiles (seconds) over the last 512 completed requests."""
+        lat = sorted(self._latencies)
+        if not lat:
+            return {}
+        pick = lambda q: lat[min(int(q * (len(lat) - 1) + 0.5), len(lat) - 1)]
+        return {
+            "latency_n": len(lat),
+            "latency_p50_s": round(pick(0.50), 4),
+            "latency_p90_s": round(pick(0.90), 4),
+            "latency_p99_s": round(pick(0.99), 4),
+            "latency_max_s": round(lat[-1], 4),
+        }
 
     def close(self, timeout: float = 60.0) -> None:
         """Drain in-flight work and stop the dispatcher (idempotent)."""
@@ -288,7 +309,9 @@ def make_server(
             elif self.path == "/stats":
                 with engine._lock:
                     stats = dict(engine.stats)
-                stats["queue_depth"] = state.frontend.queue_depth
+                fe = state.frontend
+                stats["queue_depth"] = fe.queue_depth
+                stats.update(fe.latency_stats())
                 self._json(200, stats)
             else:
                 self._json(404, {"error": f"unknown path {self.path}"})

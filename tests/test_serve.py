@@ -825,3 +825,26 @@ def test_http_restart_recovers_once():
     finally:
         server.shutdown()
         server.frontend.close(timeout=5)
+
+
+def test_stats_latency_percentiles():
+    """/stats exposes p50/p90/p99 over completed requests (service-side
+    observability for the documented compile-spike / queueing incidents)."""
+    import threading
+
+    from fdgan_tpu.serve_http import make_server
+
+    server = make_server(_FlakyEngine(fail_first=0), port=0, max_wait=0.01)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        for _ in range(5):
+            status, _, _ = _post(server, "/dehaze", _png_bytes(np.zeros((8, 8, 3))))
+            assert status == 200
+        status, payload = _get(server, "/stats")
+        assert status == 200
+        assert payload["latency_n"] == 5
+        assert 0 <= payload["latency_p50_s"] <= payload["latency_p90_s"]
+        assert payload["latency_p90_s"] <= payload["latency_max_s"] < 30
+    finally:
+        server.shutdown()
+        server.frontend.close(timeout=5)
