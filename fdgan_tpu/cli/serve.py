@@ -71,6 +71,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="skip the default --http startup warmup (requests "
                         "then pay the cold compiles, including the "
                         "documented mid-run top-of-ladder one)")
+    p.add_argument("--autoWarm", action="store_true",
+                   help="when a NEW shape bucket compiles its first rung on "
+                        "the request path, warm its remaining batch-ladder "
+                        "rungs on a background thread (covers shapes not "
+                        "known at --warmup time; live traffic keeps flowing "
+                        "during the background compiles)")
     p.add_argument("--outputDtype", choices=["float32", "uint8"],
                    default="float32",
                    help="uint8 quantises results on device (round((y+1)*"
@@ -204,6 +210,7 @@ def main(argv=None):
         spatial=opt.spatialShards > 1,
         output=opt.outputDtype,
         input=opt.inputDtype,
+        auto_warm=opt.autoWarm,
     )
 
     if opt.warmup:

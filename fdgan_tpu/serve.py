@@ -104,6 +104,7 @@ class InferenceEngine:
         spatial: bool = False,
         output: str = "float32",
         input: str = "float32",
+        auto_warm: bool = False,
     ):
         if output not in ("float32", "uint8"):
             raise ValueError(f"output must be 'float32' or 'uint8', got {output!r}")
@@ -166,6 +167,8 @@ class InferenceEngine:
         self.stats = {"images": 0, "batches": 0, "compiles": 0, "padded_frac": 0.0}
         self._pix_real = 0
         self._pix_padded = 0
+        self._auto_warm = bool(auto_warm)
+        self._warming: set = set()  # (H, W) buckets with a warm thread live
 
     # --- compiled kernel ---------------------------------------------------
 
@@ -268,15 +271,57 @@ class InferenceEngine:
             return None
 
     def _dispatch(self, x: jax.Array) -> jax.Array:
+        fresh = False
         with self._lock:
             n_before = self._cache_size()
             y = self._fwd(self._params, x)
             if n_before is not None:
                 n_after = self._cache_size()
                 if n_after is not None:
-                    self.stats["compiles"] += n_after - n_before
+                    delta = n_after - n_before
+                    self.stats["compiles"] += delta
+                    fresh = delta > 0
             self.stats["batches"] += 1
+        if fresh and self._auto_warm:
+            # a shape bucket just compiled its FIRST rung on the request
+            # path; warm the remaining rungs in the background so a later
+            # concurrency climb doesn't hit a minutes-long compile mid-run
+            self._spawn_auto_warm(int(x.shape[1]), int(x.shape[2]), int(x.shape[0]))
         return y
+
+    def _spawn_auto_warm(self, H: int, W: int, done_rung: int) -> None:
+        with self._lock:
+            if (H, W) in self._warming:
+                return
+            self._warming.add((H, W))
+
+        def _warm():
+            try:
+                for rung in self.batch_sizes:
+                    b = self._batch_bucket(rung)
+                    if b == done_rung:
+                        continue
+                    x = np.zeros((b, H, W, 3), self._stage_dtype)
+                    if self._batch_sharding is not None:
+                        x = jax.device_put(x, self._batch_sharding)
+                    else:
+                        x = jnp.asarray(x)
+                    # compile OUTSIDE the engine lock (jit dispatch is
+                    # thread-safe): live traffic keeps flowing while this
+                    # rung compiles; only the counter bump takes the lock
+                    n0 = self._cache_size()
+                    jax.block_until_ready(self._fwd(self._params, x))
+                    n1 = self._cache_size()
+                    if n0 is not None and n1 is not None:
+                        with self._lock:
+                            self.stats["compiles"] += n1 - n0
+            except Exception:  # warm failures must never kill serving
+                pass
+            finally:
+                with self._lock:
+                    self._warming.discard((H, W))
+
+        threading.Thread(target=_warm, name=f"fdgan-warm-{H}x{W}", daemon=True).start()
 
     def predict(self, image: np.ndarray) -> np.ndarray:
         """Dehaze one HWC image — float in [0, 1] or uint8 in [0, 255];

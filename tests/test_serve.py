@@ -848,3 +848,33 @@ def test_stats_latency_percentiles():
     finally:
         server.shutdown()
         server.frontend.close(timeout=5)
+
+
+def test_auto_warm_backfills_ladder(np_rng):
+    """auto_warm: the first request of a NEW shape bucket triggers a
+    background warm of the remaining ladder rungs, so a later concurrency
+    climb finds its program compiled (no request-path compile)."""
+    import time as _time
+
+    import jax
+
+    params = fdgan.init(jax.random.PRNGKey(0))
+    eng = InferenceEngine(
+        params, precision="fp32", bn_mode="running",
+        bucket=32, batch_sizes=(1, 2), auto_warm=True,
+    )
+    img = np_rng.uniform(size=(32, 32, 3)).astype(np.float32)
+    out = eng.predict(img)  # compiles rung 1, kicks the background warm
+    assert out.shape == img.shape
+    deadline = _time.time() + 120
+    while _time.time() < deadline:
+        with eng._lock:
+            if not eng._warming and eng.stats["compiles"] >= 2:
+                break
+        _time.sleep(0.2)
+    assert eng.stats["compiles"] >= 2, "rung 2 was never warmed"
+    # rung 2 now dispatches without a new compile
+    before = eng.stats["compiles"]
+    outs = eng.predict_batch([img, img])
+    assert len(outs) == 2
+    assert eng.stats["compiles"] == before
