@@ -396,9 +396,21 @@ def make_server(
 
 
 def serve_forever(server: ThreadingHTTPServer) -> None:
-    """Run until interrupted, then drain the batching frontend cleanly."""
+    """Run until interrupted (SIGINT or SIGTERM), then drain the batching
+    frontend cleanly — in-flight requests get their responses before exit
+    (what an orchestrator's stop sequence expects)."""
+    import signal
+    import threading as _threading
+
     host, port = server.server_address[:2]
     print(f"serving on http://{host}:{port}  (POST /dehaze, GET /healthz, /stats)")
+    if _threading.current_thread() is _threading.main_thread():
+        # shutdown() must not be called from the serve_forever thread —
+        # hand it to a helper so the handler returns immediately
+        signal.signal(
+            signal.SIGTERM,
+            lambda *_: _threading.Thread(target=server.shutdown, daemon=True).start(),
+        )
     try:
         server.serve_forever()
     except KeyboardInterrupt:

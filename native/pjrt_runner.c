@@ -347,17 +347,33 @@ static void http_reply(int fd, int code, const char* status,
 }
 
 static long g_served = 0;
+static double g_total_s = 0.0, g_last_s = 0.0, g_start_s = 0.0;
 
 static void complete_request(Inflight* fl, int fd, char* out,
                              const char* shape_hdr) {
   double dt = finish_once(fl, out);
   g_served++;
+  g_total_s += dt;
+  g_last_s = dt;
   http_reply(fd, 200, "OK", "application/octet-stream", shape_hdr, out,
              g_out_sig.total_bytes);
   close(fd);
   if (g_served % 16 == 1)
     printf("served %ld (last inference %.3fs)\n", g_served, dt),
         fflush(stdout);
+}
+
+/* GET /stats — the C twin of the Python server's endpoint (same shape of
+ * payload, fewer fields: no batching ladder in this daemon). */
+static void reply_stats(int fd) {
+  char body[256];
+  int m = snprintf(body, sizeof body,
+                   "{\"served\": %ld, \"last_inference_s\": %.4f, "
+                   "\"mean_inference_s\": %.4f, \"uptime_s\": %.1f}",
+                   g_served, g_last_s,
+                   g_served > 0 ? g_total_s / (double)g_served : 0.0,
+                   now_s() - g_start_s);
+  http_reply(fd, 200, "OK", "application/json", NULL, body, (size_t)m);
 }
 
 static int serve_http(int port, const char* host) {
@@ -400,8 +416,9 @@ static int serve_http(int port, const char* host) {
              "X-Image-Shape: %s\r\nX-Image-Dtype: %s\r\n", dims,
              g_out_sig.type == PJRT_Buffer_Type_U8 ? "uint8" : "float32");
   }
-  printf("serving on :%d (POST /dehaze expects exactly %zu raw bytes)\n",
-         port, g_in_sig.total_bytes);
+  g_start_s = now_s();
+  printf("serving on %s:%d (POST /dehaze expects exactly %zu raw bytes)\n",
+         host, port, g_in_sig.total_bytes);
   fflush(stdout);
 
   char head[8192];
@@ -441,6 +458,11 @@ static int serve_http(int port, const char* host) {
     if (strncmp(head, "GET /healthz", 12) == 0) {
       const char ok[] = "{\"ok\": true}";
       http_reply(fd, 200, "OK", "application/json", NULL, ok, sizeof ok - 1);
+      close(fd);
+      continue;
+    }
+    if (strncmp(head, "GET /stats", 10) == 0) {
+      reply_stats(fd);
       close(fd);
       continue;
     }
