@@ -32,14 +32,14 @@ def _free_port():
         return s.getsockname()[1]
 
 
-def _run_workers(nprocs, tmp_path, timeout=600):
+def _run_workers(nprocs, tmp_path, timeout=600, mode="dp"):
     port = _free_port()
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     outs = [str(tmp_path / f"w{i}.json") for i in range(nprocs)]
     procs = [
         subprocess.Popen(
-            [sys.executable, WORKER, str(i), str(nprocs), str(port), outs[i]],
+            [sys.executable, WORKER, str(i), str(nprocs), str(port), outs[i], mode],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         )
         for i in range(nprocs)
@@ -91,6 +91,37 @@ def test_two_process_dp_step_matches_single_process(tmp_path):
         assert got[k] == pytest.approx(ref_metrics[k], rel=2e-3, abs=2e-5), k
     for k in ref_norms:
         assert results[0]["g_norms"][k] == pytest.approx(ref_norms[k], rel=1e-3), k
+
+
+def test_two_process_sp_step_matches_single_process(tmp_path):
+    """Spatial (H) sharding across the PROCESS boundary: the conv halo
+    exchanges run over the inter-process transport, which no single-process
+    mesh test can exercise. One SP+rematStages train step at 1@64² over the
+    2-process (1×8) mesh matches the single-process 8-device value."""
+    import jax
+
+    from fdgan_tpu.dist.mesh import make_mesh, shard_batch, shard_params
+    from fdgan_tpu.train import create_train_state, make_train_step
+
+    results = _run_workers(2, tmp_path, mode="sp")
+    assert results[0]["metrics"] == pytest.approx(results[1]["metrics"], rel=1e-6)
+
+    state, tx_g, tx_d = create_train_state(jax.random.PRNGKey(0))
+    step = make_train_step(tx_g, tx_d, remat="stages")
+    mesh = make_mesh(n_data=1, n_spatial=8)
+    state.g_params = shard_params(state.g_params, mesh)
+    state.d_params = shard_params(state.d_params, mesh)
+    rng = np.random.default_rng(123)
+    haze = rng.uniform(size=(1, 64, 64, 3)).astype(np.float32)
+    gt = rng.uniform(size=(1, 64, 64, 3)).astype(np.float32)
+    batch = shard_batch((haze, gt), mesh, spatial=True)
+    state, metrics = step(state, batch[0], batch[1], jax.random.PRNGKey(1))
+    ref_metrics = {k: float(v) for k, v in metrics.items()}
+
+    got = results[0]["metrics"]
+    assert set(got) == set(ref_metrics)
+    for k in ref_metrics:
+        assert got[k] == pytest.approx(ref_metrics[k], rel=2e-3, abs=2e-5), k
 
 
 def test_train_cli_multiprocess_smoke(tmp_path):
