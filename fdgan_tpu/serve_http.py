@@ -403,14 +403,15 @@ def serve_forever(server: ThreadingHTTPServer) -> None:
     import threading as _threading
 
     host, port = server.server_address[:2]
-    print(f"serving on http://{host}:{port}  (POST /dehaze, GET /healthz, /stats)")
     if _threading.current_thread() is _threading.main_thread():
-        # shutdown() must not be called from the serve_forever thread —
-        # hand it to a helper so the handler returns immediately
+        # install BEFORE announcing the port (a supervisor may signal the
+        # moment it sees the bind); shutdown() must not run on the
+        # serve_forever thread, so the handler hands it to a helper
         signal.signal(
             signal.SIGTERM,
             lambda *_: _threading.Thread(target=server.shutdown, daemon=True).start(),
         )
+    print(f"serving on http://{host}:{port}  (POST /dehaze, GET /healthz, /stats)")
     try:
         server.serve_forever()
     except KeyboardInterrupt:

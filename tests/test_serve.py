@@ -878,3 +878,43 @@ def test_auto_warm_backfills_ladder(np_rng):
     outs = eng.predict_batch([img, img])
     assert len(outs) == 2
     assert eng.stats["compiles"] == before
+
+
+def test_serve_forever_sigterm_clean_shutdown(tmp_path):
+    import os
+    """SIGTERM (the orchestrator stop signal) exits serve_forever cleanly:
+    the frontend drains and the process terminates with code 0."""
+    import signal
+    import subprocess
+    import sys
+    import time as _time
+
+    script = tmp_path / "srv.py"
+    script.write_text(
+        "import sys\n"
+        f"sys.path.insert(0, {os.path.dirname(os.path.dirname(os.path.abspath(__file__)))!r})\n"
+        f"sys.path.insert(0, {os.path.dirname(os.path.abspath(__file__))!r})\n"
+        "from test_serve import _FlakyEngine\n"
+        "from fdgan_tpu.serve_http import make_server, serve_forever\n"
+        "server = make_server(_FlakyEngine(fail_first=0), port=0, max_wait=0.01)\n"
+        "serve_forever(server)\n"
+        "print('CLEAN_EXIT')\n"
+    )
+    proc = subprocess.Popen(
+        [sys.executable, "-u", str(script)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+    )
+    # wait for the bind line so SIGTERM lands on a RUNNING server (during
+    # startup imports the default disposition would just kill the process)
+    seen = []
+    while True:
+        line = proc.stdout.readline()
+        if not line:
+            raise AssertionError(f"server died early: {''.join(seen)}")
+        seen.append(line)
+        if "serving on" in line:
+            break
+    proc.send_signal(signal.SIGTERM)
+    out, _ = proc.communicate(timeout=30)
+    assert proc.returncode == 0, out
+    assert "CLEAN_EXIT" in out
