@@ -49,12 +49,13 @@ def nlayer_init(
     input_nc: int = 9,
     ndf: int = 64,
     n_layers: int = 3,
-    use_sigmoid: bool = True,
     dtype=jnp.float32,
 ) -> dict:
     """Sequential-index param tree: model.{0,2,5,8,11} convs, {3,6,9} BNs
     for the default n_layers=3 (middle convs bias-free under BatchNorm,
-    dehaze1113.py:146-148)."""
+    dehaze1113.py:146-148). The sigmoid head is activation-only (no
+    params), so it's an ``nlayer_apply(use_sigmoid=...)`` switch — init
+    deliberately has no such flag (it used to accept-and-ignore one)."""
     keys = iter(jax.random.split(rng, n_layers + 3))
     model = {}
     idx = 0

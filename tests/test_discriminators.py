@@ -27,7 +27,7 @@ def test_nlayer_shapes(rng):
 
 
 def test_nlayer_no_sigmoid(rng):
-    params = nlayer_init(rng, input_nc=3, use_sigmoid=False)
+    params = nlayer_init(rng, input_nc=3)
     y = nlayer_apply(params, jnp.zeros((1, 64, 64, 3)), use_sigmoid=False)
     assert y.shape == (1, 6, 6, 1)
 
