@@ -169,8 +169,8 @@ def test_maybe_init_distributed_logs_failure(monkeypatch):
 
     calls = []
 
-    def fake_init():
-        calls.append(1)
+    def fake_init(**kwargs):
+        calls.append(kwargs)
         raise RuntimeError("no coordinator")
 
     monkeypatch.setenv("FDGAN_TPU_DIST", "1")
