@@ -76,7 +76,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "the request path, warm its remaining batch-ladder "
                         "rungs on a background thread (covers shapes not "
                         "known at --warmup time; live traffic keeps flowing "
-                        "during the background compiles)")
+                        "during the background compiles). Default ON for "
+                        "--http — the startup warmup only covers the bucket "
+                        "shape, and real photos bucket larger")
+    p.add_argument("--noAutoWarm", action="store_true",
+                   help="disable the --http default auto-warm")
     p.add_argument("--outputDtype", choices=["float32", "uint8"],
                    default="float32",
                    help="uint8 quantises results on device (round((y+1)*"
@@ -210,7 +214,7 @@ def main(argv=None):
         spatial=opt.spatialShards > 1,
         output=opt.outputDtype,
         input=opt.inputDtype,
-        auto_warm=opt.autoWarm,
+        auto_warm=(opt.autoWarm or bool(opt.http)) and not opt.noAutoWarm,
     )
 
     if opt.warmup:

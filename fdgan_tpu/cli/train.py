@@ -178,10 +178,15 @@ def main(argv=None):
                 f"--batchSize {opt.batchSize} (global) must divide by the "
                 f"{nprocs} processes"
             )
-        if opt.poolSize > 0 and opt.spatialShards > 1:
+        if opt.spatialShards > 1:
+            # the loader feeds each process DIFFERENT full-H images; an
+            # H-sharded global array would stack them as bands of one
+            # frankensteined (nprocs*H)-tall image with no error. SP across
+            # processes is exercised at the library level (tests/mp_worker.py
+            # slices true H-bands); the data path here is DP-only.
             raise SystemExit(
-                "--poolSize with --spatialShards is single-process only "
-                "(the host-side pool pools full-H local rows)"
+                "--spatialShards > 1 is single-process only: the h5 loader "
+                "shards IMAGES per process, not image bands"
             )
         print(f"multi-process: {nprocs} processes x "
               f"{len(jax.local_devices())} local devices = "
@@ -296,8 +301,19 @@ def main(argv=None):
             f"--spatialShards {n_sp} must divide the device count {n_dev}"
         )
     n_data = n_dev // n_sp
-    while opt.batchSize % n_data:
-        n_data -= 1
+    if nprocs > 1:
+        # no truncated-mesh fallback across processes: a device subset that
+        # excludes some of one process's devices can't be fed by
+        # make_array_from_process_local_data (each process contributes a
+        # fixed local_batch); demand an exactly divisible global batch
+        if opt.batchSize % n_data:
+            raise SystemExit(
+                f"multi-process: --batchSize {opt.batchSize} (global) must "
+                f"divide by the {n_data} global data shards"
+            )
+    else:
+        while opt.batchSize % n_data:
+            n_data -= 1
     mesh = make_mesh(n_data=n_data, n_spatial=n_sp, devices=jax.devices()[: n_data * n_sp])
     if n_data * n_sp < n_dev:
         print(f"note: batchSize {opt.batchSize} not divisible by {n_dev // n_sp} "

@@ -50,7 +50,17 @@ def maybe_init_distributed() -> None:
             num_processes=int(nprocs) if nprocs is not None else None,
             process_id=int(pid) if pid is not None else None,
         )
-    except Exception as e:  # already initialised or single-host
+    except Exception as e:
+        if nprocs is not None or pid is not None:
+            # explicit coordinates: falling back single-host would make THIS
+            # worker believe it is process 0 of 1 — it would then run a
+            # duplicate training that interleaves logs and clobbers the real
+            # run's checkpoints on shared storage. Die instead.
+            raise SystemExit(
+                f"FDGAN_TPU_DIST: jax.distributed.initialize("
+                f"coord={coord!r}, nprocs={nprocs}, pid={pid}) failed: "
+                f"{type(e).__name__}: {e}"
+            )
         import warnings
 
         warnings.warn(
@@ -59,16 +69,6 @@ def maybe_init_distributed() -> None:
             RuntimeWarning,
             stacklevel=2,
         )
-
-
-def process_shard(seq: Sequence) -> Sequence:
-    """This process's strided shard of a (deterministically ordered)
-    work list — e.g. the sorted h5 file list in multi-process training.
-    Identity when single-process."""
-    n = jax.process_count()
-    if n == 1:
-        return seq
-    return seq[jax.process_index()::n]
 
 
 def make_mesh(

@@ -169,6 +169,7 @@ class InferenceEngine:
         self._pix_padded = 0
         self._auto_warm = bool(auto_warm)
         self._warming: set = set()  # (H, W) buckets with a warm thread live
+        self._warmed: set = set()   # (H, W) buckets ever auto-warmed (dedup)
 
     # --- compiled kernel ---------------------------------------------------
 
@@ -291,8 +292,13 @@ class InferenceEngine:
 
     def _spawn_auto_warm(self, H: int, W: int, done_rung: int) -> None:
         with self._lock:
-            if (H, W) in self._warming:
+            if (H, W) in self._warmed:
+                # dedup is PERMANENT: a concurrent request-path compile of a
+                # different bucket can land inside another dispatch's cache-
+                # size window and mark it "fresh" — without this, that
+                # misattribution would re-spawn warm threads forever
                 return
+            self._warmed.add((H, W))
             self._warming.add((H, W))
 
         def _warm():
@@ -308,13 +314,10 @@ class InferenceEngine:
                         x = jnp.asarray(x)
                     # compile OUTSIDE the engine lock (jit dispatch is
                     # thread-safe): live traffic keeps flowing while this
-                    # rung compiles; only the counter bump takes the lock
-                    n0 = self._cache_size()
+                    # rung compiles. Deliberately NOT counted in
+                    # stats["compiles"]: cache-size bracketing from a second
+                    # thread races the request path and double-counts.
                     jax.block_until_ready(self._fwd(self._params, x))
-                    n1 = self._cache_size()
-                    if n0 is not None and n1 is not None:
-                        with self._lock:
-                            self.stats["compiles"] += n1 - n0
             except Exception:  # warm failures must never kill serving
                 pass
             finally:

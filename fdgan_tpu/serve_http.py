@@ -102,7 +102,8 @@ class BatchingFrontend:
             )
             for y in results:
                 fut, t0 = self._futs.popleft()
-                self._latencies.append(time.monotonic() - t0)
+                with self._lock:  # /stats snapshots this deque concurrently
+                    self._latencies.append(time.monotonic() - t0)
                 fut.set_result(y)
         except BaseException as e:
             with self._lock:
@@ -130,6 +131,10 @@ class BatchingFrontend:
     def healthy(self) -> bool:
         """False once the dispatcher died (its error is in ``error``)."""
         return self._error is None and self._thread.is_alive()
+
+    @property
+    def closed(self) -> bool:
+        return self._closed
 
     @property
     def error(self) -> Optional[BaseException]:
@@ -162,7 +167,8 @@ class BatchingFrontend:
 
     def latency_stats(self) -> dict:
         """Percentiles (seconds) over the last 512 completed requests."""
-        lat = sorted(self._latencies)
+        with self._lock:  # the dispatcher appends concurrently
+            lat = sorted(self._latencies)
         if not lat:
             return {}
         pick = lambda q: lat[min(int(q * (len(lat) - 1) + 0.5), len(lat) - 1)]
@@ -259,6 +265,11 @@ def make_server(
             with self.lock:
                 if self.frontend is not dead:
                     return True  # someone else already restarted
+                if dead.closed:
+                    # deliberate shutdown, not a crash: a restart here would
+                    # resurrect a dispatcher AFTER serve_forever's drain and
+                    # leak it past process teardown
+                    return False
                 if self.restarts_left <= 0 or dead.healthy:
                     return False
                 self.restarts_left -= 1

@@ -311,12 +311,18 @@ static PJRT_NamedValue named_int(const char* name, int64_t val) {
  * the same payloads the Python server's ?raw=1 mode ships
  * (serve_http.py:252-270); image codecs live at the edge, not here. */
 
+/* Total wall-clock budget for reading ONE request. The per-read
+ * SO_RCVTIMEO alone doesn't bound a trickling client (1 byte per 25 s
+ * resets it forever) — and with the one-deep pipeline a stalled read
+ * holds ANOTHER client's already-computed response hostage. */
+#define REQUEST_READ_DEADLINE_S 60.0
+
 static int read_http_head(int fd, char* buf, size_t cap, size_t* head_len,
-                          size_t* body_got) {
+                          size_t* body_got, double deadline) {
   size_t n = 0;
   while (n < cap - 1) {
     ssize_t r = read(fd, buf + n, cap - 1 - n);
-    if (r <= 0) return -1;
+    if (r <= 0 || now_s() > deadline) return -1;
     n += (size_t)r;
     buf[n] = 0;
     char* end = strstr(buf, "\r\n\r\n");
@@ -450,8 +456,10 @@ static int serve_http(int port, const char* host) {
     tmo.tv_usec = 0;
     setsockopt(fd, SOL_SOCKET, SO_RCVTIMEO, &tmo, sizeof tmo);
     setsockopt(fd, SOL_SOCKET, SO_SNDTIMEO, &tmo, sizeof tmo);
+    double read_deadline = now_s() + REQUEST_READ_DEADLINE_S;
     size_t head_len = 0, body_got = 0;
-    if (read_http_head(fd, head, sizeof head, &head_len, &body_got) != 0) {
+    if (read_http_head(fd, head, sizeof head, &head_len, &body_got,
+                       read_deadline) != 0) {
       close(fd);
       continue;
     }
@@ -508,7 +516,7 @@ static int serve_http(int port, const char* host) {
     memcpy(body, head + head_len, body_got);
     while (body_got < g_in_sig.total_bytes) {
       ssize_t r = read(fd, body + body_got, g_in_sig.total_bytes - body_got);
-      if (r <= 0) break;
+      if (r <= 0 || now_s() > read_deadline) break;
       body_got += (size_t)r;
     }
     if (body_got < g_in_sig.total_bytes) {
