@@ -53,7 +53,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--http", type=int, default=0, metavar="PORT",
                    help="serve an HTTP API instead of a folder pass: "
                         "POST /dehaze (image in, dehazed PNG out), GET "
-                        "/healthz, GET /stats. Concurrent requests are "
+                        "/healthz, GET /stats, POST /reload (zero-downtime "
+                        "weight hot-swap — re-reads --netG or a JSON "
+                        "{'path': ...}). Concurrent requests are "
                         "batched together through the engine (--maxWait "
                         "bounds the latency a lone request pays; defaults "
                         "to 0.05 s in this mode). --inDir is not needed")
@@ -257,6 +259,10 @@ def main(argv=None):
             port=opt.http,
             max_wait=opt.maxWait if opt.maxWait > 0 else 0.05,
             depth=opt.depth,
+            # POST /reload: zero-downtime hot-swap to a new checkpoint
+            # (defaults to re-reading --netG — the keepBest promotion path)
+            weight_loader=load_generator_params,
+            weights_path=opt.netG,
         )
         serve_forever(server)
         return

@@ -164,7 +164,14 @@ class InferenceEngine:
         else:
             self._fwd = jax.jit(self._forward)
         self._lock = threading.Lock()
-        self.stats = {"images": 0, "batches": 0, "compiles": 0, "padded_frac": 0.0}
+        self.weights_version = 0  # bumped by reload(); 0 = the __init__ weights
+        self.stats = {
+            "images": 0,
+            "batches": 0,
+            "compiles": 0,
+            "reloads": 0,
+            "padded_frac": 0.0,
+        }
         self._pix_real = 0
         self._pix_padded = 0
         self._auto_warm = bool(auto_warm)
@@ -325,6 +332,62 @@ class InferenceEngine:
                     self._warming.discard((H, W))
 
         threading.Thread(target=_warm, name=f"fdgan-warm-{H}x{W}", daemon=True).start()
+
+    def reload(self, params: dict) -> int:
+        """Hot-swap the generator weights with zero downtime.
+
+        The compiled programs take parameters as an ARGUMENT (never baked
+        in), so a same-structure swap reuses every cached XLA program: no
+        recompile, no dropped requests. Batches already dispatched finish
+        on the old weights; every dispatch after the swap uses the new
+        ones — the swap happens under the same lock that serialises
+        dispatches, so one batch is never split across versions. This is
+        the checkpoint-promotion path: train with ``--keepBest``, then
+        ``POST /reload`` on the HTTP server (serve_http.py) pointing at
+        the new ``netG_best``.
+
+        The new tree is cast/sharded/uploaded and synced BEFORE the swap,
+        so serving never stalls on the (potentially slow) host→device
+        transfer. Raises ``ValueError`` naming the first mismatching leaf
+        when the tree structure, a shape, or a dtype differs from the
+        loaded weights — a silent mismatch would recompile at best and
+        crash mid-request at worst. Returns the new ``weights_version``.
+        """
+        cast = cast_tree(params, self._dtype) if self._dtype == jnp.bfloat16 else params
+        import jax.tree_util as jtu
+
+        new_flat, new_def = jtu.tree_flatten_with_path(cast)
+        cur_flat, cur_def = jtu.tree_flatten_with_path(self._params)
+        if new_def != cur_def:
+            raise ValueError(
+                f"reload: checkpoint tree structure differs from the loaded "
+                f"weights ({new_def.num_leaves} vs {cur_def.num_leaves} leaves) "
+                f"— wrong model family or config?"
+            )
+        for (kp, leaf_n), (_, leaf_c) in zip(new_flat, cur_flat):
+            if tuple(leaf_n.shape) != tuple(leaf_c.shape):
+                raise ValueError(
+                    f"reload: leaf {jtu.keystr(kp)} has shape "
+                    f"{tuple(leaf_n.shape)}, loaded weights have "
+                    f"{tuple(leaf_c.shape)} — wrong model family or config?"
+                )
+            if np.dtype(leaf_n.dtype) != np.dtype(leaf_c.dtype):
+                raise ValueError(
+                    f"reload: leaf {jtu.keystr(kp)} has dtype {leaf_n.dtype}, "
+                    f"loaded weights have {leaf_c.dtype}"
+                )
+        if self.mesh is not None:
+            from fdgan_tpu.dist.mesh import shard_params
+
+            new = shard_params(cast, self.mesh)
+        else:
+            new = jax.device_put(cast)
+        jax.block_until_ready(new)  # upload off the serving path
+        with self._lock:
+            self._params = new
+            self.weights_version += 1
+            self.stats["reloads"] += 1
+            return self.weights_version
 
     def predict(self, image: np.ndarray) -> np.ndarray:
         """Dehaze one HWC image — float in [0, 1] or uint8 in [0, 255];

@@ -23,8 +23,19 @@ Endpoints
                    ``X-Image-Shape``, dtype in ``X-Image-Dtype``) — for
                    clients that want the un-normalised model output.
 ``GET /healthz``   liveness + device info.
-``GET /stats``     engine counters (images, batches, compiles,
+``GET /stats``     engine counters (images, batches, compiles, reloads,
                    padding overhead) + queue depth.
+``POST /reload``   zero-downtime weight hot-swap (enabled when
+                   ``make_server`` is given a ``weight_loader``): body is
+                   optional JSON ``{"path": "..."}``, defaulting to the
+                   server's startup checkpoint path. The checkpoint is
+                   loaded + uploaded off the serving path, validated
+                   leaf-by-leaf, then swapped under the engine lock — the
+                   cached XLA programs are reused (weights are a program
+                   ARGUMENT, never baked), in-flight batches finish on the
+                   old weights, no request is dropped. This is how a
+                   ``--keepBest`` checkpoint from a live training run is
+                   promoted into a running server.
 
 Reference counterpart: none — ``demo.py:89-151`` is an offline loop over
 an h5 file. This is framework capability the TPU rebuild adds on top of
@@ -225,6 +236,8 @@ def make_server(
     request_timeout: float = 900.0,
     max_body_bytes: int = 64 * 1024 * 1024,
     restart_limit: int = 1,
+    weight_loader=None,
+    weights_path: str = "",
 ) -> ThreadingHTTPServer:
     """Build (but don't start) the HTTP server wrapping ``engine``.
 
@@ -246,8 +259,17 @@ def make_server(
     frontend up to ``restart_limit`` times; once exhausted,
     ``GET /healthz`` reports ``ok: false`` with HTTP 503 so an
     orchestrator's liveness probe recycles the pod instead of routing to a
-    zombie."""
+    zombie.
+
+    ``weight_loader`` (a ``path -> params`` callable, e.g.
+    ``cli._common.load_generator_params``) enables ``POST /reload`` —
+    zero-downtime weight hot-swap via ``engine.reload``; ``weights_path``
+    is the default checkpoint path when the request body names none.
+    Reload is an admin operation: the server binds loopback by default,
+    and the path in the request body is read server-side — expose
+    non-loopback binds accordingly."""
     uint8_in = getattr(engine, "input", "float32") == "uint8"
+    reload_lock = threading.Lock()  # serialise concurrent /reload requests
 
     class _FrontendState:
         """Current frontend + bounded restart budget, shared by handlers."""
@@ -313,6 +335,8 @@ def make_server(
                     "batch_sizes": list(engine.batch_sizes),
                     "dispatcher_alive": fe.healthy,
                     "restarts_left": state.restarts_left,
+                    "weights_version": getattr(engine, "weights_version", 0),
+                    "reload_enabled": weight_loader is not None,
                 }
                 if fe.error is not None:
                     payload["error"] = repr(fe.error)
@@ -322,6 +346,7 @@ def make_server(
                     stats = dict(engine.stats)
                 fe = state.frontend
                 stats["queue_depth"] = fe.queue_depth
+                stats["weights_version"] = getattr(engine, "weights_version", 0)
                 stats.update(fe.latency_stats())
                 self._json(200, stats)
             else:
@@ -337,8 +362,57 @@ def make_server(
                     if not state.maybe_restart(fe):
                         raise
 
+        def _do_reload(self):
+            if weight_loader is None:
+                self._json(404, {"error": "reload not enabled (server was "
+                                          "built without a weight_loader)"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                if n > max_body_bytes:
+                    self._json(413, {"error": "reload body too large"})
+                    return
+                body = self.rfile.read(n) if n > 0 else b""
+                req = json.loads(body) if body.strip() else {}
+                if not isinstance(req, dict):
+                    raise ValueError("body must be a JSON object")
+            except Exception as e:
+                self._json(400, {"error": f"bad reload request: {e}"})
+                return
+            path = req.get("path") or weights_path
+            if not path:
+                self._json(400, {"error": "no checkpoint path: pass "
+                                          '{"path": ...} or start the server '
+                                          "with a default weights path"})
+                return
+            t0 = time.monotonic()
+            with reload_lock:  # one load+swap at a time
+                try:
+                    params = weight_loader(path)
+                except Exception as e:
+                    self._json(400, {"error": f"loading {path!r} failed: {e}"})
+                    return
+                try:
+                    version = engine.reload(params)
+                except ValueError as e:
+                    # structurally wrong checkpoint: the old weights stay live
+                    self._json(409, {"error": str(e)})
+                    return
+                except Exception as e:
+                    self._json(500, {"error": f"reload failed: {e}"})
+                    return
+            self._json(200, {
+                "ok": True,
+                "path": path,
+                "weights_version": version,
+                "elapsed_s": round(time.monotonic() - t0, 3),
+            })
+
         def do_POST(self):
             path, _, query = self.path.partition("?")
+            if path == "/reload":
+                self._do_reload()
+                return
             if path != "/dehaze":
                 self._json(404, {"error": f"unknown path {path}"})
                 return

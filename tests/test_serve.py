@@ -920,3 +920,215 @@ def test_serve_forever_sigterm_clean_shutdown(tmp_path):
     out, _ = proc.communicate(timeout=30)
     assert proc.returncode == 0, out
     assert "CLEAN_EXIT" in out
+
+
+# --- weight hot-reload (zero-downtime checkpoint promotion) -----------------
+
+
+def _tiny_engine(params, **kw):
+    kw.setdefault("precision", "fp32")
+    kw.setdefault("bn_mode", "running")
+    kw.setdefault("bucket", 8)
+    kw.setdefault("batch_sizes", (1,))
+    return InferenceEngine(params, **kw)
+
+
+def test_reload_hot_swaps_weights_without_recompile(np_rng):
+    """reload() must serve the NEW weights through the CACHED programs:
+    outputs change to exactly what a fresh engine on the new weights
+    produces, while the compile counter stays put (weights are a program
+    argument, never baked in)."""
+    import jax
+
+    p0 = fdgan.init(jax.random.PRNGKey(0))
+    p1 = fdgan.init(jax.random.PRNGKey(1))
+    eng = _tiny_engine(p0)
+    img = np_rng.uniform(size=(8, 8, 3)).astype(np.float32)
+    y0 = eng.predict(img)
+    compiles = eng.stats["compiles"]
+
+    assert eng.reload(p1) == 1
+    assert eng.weights_version == 1 and eng.stats["reloads"] == 1
+    y1 = eng.predict(img)
+    assert eng.stats["compiles"] == compiles, "reload must not recompile"
+    assert not np.allclose(y0, y1), "new weights must actually serve"
+    ref = _tiny_engine(p1)
+    np.testing.assert_array_equal(y1, ref.predict(img))
+
+    # and back: version counts monotonically, old outputs return exactly
+    assert eng.reload(p0) == 2
+    np.testing.assert_array_equal(eng.predict(img), y0)
+
+
+def test_reload_rejects_mismatched_tree(np_rng):
+    """A structurally wrong checkpoint must be refused with the offending
+    leaf NAMED, and the old weights must stay live."""
+    import jax
+
+    p0 = fdgan.init(jax.random.PRNGKey(0))
+    eng = _tiny_engine(p0)
+    img = np_rng.uniform(size=(8, 8, 3)).astype(np.float32)
+    y0 = eng.predict(img)
+
+    flat, treedef = jax.tree_util.tree_flatten(p0)
+    i = next(i for i, l in enumerate(flat) if l.ndim > 1)
+
+    bad_shape = list(flat)
+    bad_shape[i] = np.asarray(bad_shape[i]).reshape(-1)
+    with pytest.raises(ValueError, match="shape"):
+        eng.reload(jax.tree.unflatten(treedef, bad_shape))
+
+    bad_dtype = list(flat)
+    bad_dtype[i] = np.asarray(bad_dtype[i], np.float64)
+    with pytest.raises(ValueError, match="dtype"):
+        eng.reload(jax.tree.unflatten(treedef, bad_dtype))
+
+    bad_struct = dict(p0)
+    bad_struct.pop(next(iter(bad_struct)))
+    with pytest.raises(ValueError, match="structure"):
+        eng.reload(bad_struct)
+
+    assert eng.weights_version == 0 and eng.stats["reloads"] == 0
+    np.testing.assert_array_equal(eng.predict(img), y0)
+
+
+def test_http_reload_endpoint(tmp_path, np_rng):
+    """POST /reload end-to-end: the server starts on checkpoint A, serves
+    A's outputs, hot-swaps to checkpoint B (explicit path AND the default
+    startup path), then serves B's outputs — across the SAME compiled
+    programs. Error paths: bad path 400, wrong-family checkpoint 409 with
+    the old weights still serving, and a loader-less server 404s."""
+    import json
+    import threading
+
+    import jax
+
+    from fdgan_tpu.cli._common import load_generator_params
+    from fdgan_tpu.io.checkpoint import save_checkpoint
+    from fdgan_tpu.serve_http import make_server
+
+    p0 = fdgan.init(jax.random.PRNGKey(0))
+    p1 = fdgan.init(jax.random.PRNGKey(1))
+    ckpt = str(tmp_path / "netG.msgpack")
+    ckpt_b = str(tmp_path / "netG_b.msgpack")
+    save_checkpoint(ckpt, p0)
+    save_checkpoint(ckpt_b, p1)
+
+    eng = _tiny_engine(load_generator_params(ckpt))
+    server = make_server(
+        eng, port=0, max_wait=0.02, depth=2,
+        weight_loader=load_generator_params, weights_path=ckpt,
+    )
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        img = np_rng.uniform(size=(8, 8, 3)).astype(np.float32)
+        png = _png_bytes(img)
+        decoded = np.asarray(  # what the server's PIL round-trip decodes
+            (img * 255.0 + 0.5).clip(0, 255).astype(np.uint8), np.float32
+        ) / 255.0
+        want0 = _direct(eng, decoded)
+
+        status, _, data = _post(server, "/dehaze?raw=1", png)
+        assert status == 200
+        np.testing.assert_array_equal(
+            np.frombuffer(data, "<f4").reshape(8, 8, 3), want0
+        )
+
+        # explicit-path reload to checkpoint B
+        status, _, data = _post(
+            server, "/reload", json.dumps({"path": ckpt_b}).encode()
+        )
+        assert status == 200, data
+        reply = json.loads(data)
+        assert reply["ok"] is True and reply["weights_version"] == 1
+
+        want1 = _direct(eng, decoded)  # engine now holds B
+        assert not np.allclose(want0, want1)
+        status, _, data = _post(server, "/dehaze?raw=1", png)
+        assert status == 200
+        np.testing.assert_array_equal(
+            np.frombuffer(data, "<f4").reshape(8, 8, 3), want1
+        )
+
+        # default-path reload: overwrite the startup checkpoint (the
+        # keepBest promotion pattern), empty body
+        save_checkpoint(ckpt, p1)
+        status, _, data = _post(server, "/reload", b"")
+        assert status == 200, data
+        assert json.loads(data)["weights_version"] == 2
+
+        # stats/healthz surface the version
+        status, payload = _get(server, "/stats")
+        assert payload["weights_version"] == 2 and payload["reloads"] == 2
+        status, payload = _get(server, "/healthz")
+        assert payload["weights_version"] == 2
+        assert payload["reload_enabled"] is True
+
+        # error paths
+        status, _, data = _post(
+            server, "/reload", json.dumps({"path": str(tmp_path / "no.msgpack")}).encode()
+        )
+        assert status == 400
+        wrong = str(tmp_path / "wrong.msgpack")
+        save_checkpoint(wrong, {"not_fdgan": np.zeros((3, 3), np.float32)})
+        status, _, data = _post(
+            server, "/reload", json.dumps({"path": wrong}).encode()
+        )
+        assert status == 400, data  # loader validates against the template
+        status, _, data = _post(server, "/reload", b"[1, 2]")
+        assert status == 400
+        # old weights still serving after every failed attempt
+        status, _, data = _post(server, "/dehaze?raw=1", png)
+        np.testing.assert_array_equal(
+            np.frombuffer(data, "<f4").reshape(8, 8, 3), want1
+        )
+    finally:
+        server.shutdown()
+        server.frontend.close()
+
+    # a server built without a weight_loader refuses the endpoint
+    server2 = make_server(_tiny_engine(p0), port=0, max_wait=0.02)
+    t2 = threading.Thread(target=server2.serve_forever, daemon=True)
+    t2.start()
+    try:
+        status, _, data = _post(server2, "/reload", b"")
+        assert status == 404
+    finally:
+        server2.shutdown()
+        server2.frontend.close()
+
+
+def test_reload_concurrent_with_streaming(np_rng):
+    """A reload landing mid-stream must never crash or mix weights within
+    a batch: every result equals the old-weights output or the new-weights
+    output exactly."""
+    import threading
+
+    import jax
+
+    p0 = fdgan.init(jax.random.PRNGKey(0))
+    p1 = fdgan.init(jax.random.PRNGKey(1))
+    eng = _tiny_engine(p0)
+    img = np_rng.uniform(size=(8, 8, 3)).astype(np.float32)
+    y_old = eng.predict(img)
+    ref = _tiny_engine(p1)
+    y_new = ref.predict(img)
+
+    n = 24
+    swapped = threading.Event()
+
+    def feed():
+        for k in range(n):
+            if k == n // 3 and not swapped.is_set():
+                # swap from the producer side, mid-stream
+                eng.reload(p1)
+                swapped.set()
+            yield img
+
+    outs = list(eng.stream(feed(), depth=2))
+    assert len(outs) == n
+    n_old = sum(np.array_equal(o, y_old) for o in outs)
+    n_new = sum(np.array_equal(o, y_new) for o in outs)
+    assert n_old + n_new == n, "a result matched neither weights version"
+    assert n_new > 0, "the swap never took effect"
