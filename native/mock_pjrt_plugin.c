@@ -97,7 +97,6 @@ static PJRT_Error* event_destroy(PJRT_Event_Destroy_Args* a) {
 static struct PJRT_Client g_client_obj;
 static struct PJRT_Device g_device_obj;
 static PJRT_Device* g_devices[1] = {&g_device_obj};
-static struct PJRT_LoadedExecutable g_loaded_obj;
 static struct PJRT_Executable g_exec_obj;
 
 static PJRT_Error* client_create(PJRT_Client_Create_Args* a) {
@@ -124,7 +123,16 @@ static PJRT_Error* client_compile(PJRT_Client_Compile_Args* a) {
     return mk_error("mock: program format must be \"mlir\"%s", NULL);
   if (a->compile_options_size == 0)
     return mk_error("mock: missing serialized CompileOptionsProto%s", NULL);
-  a->executable = &g_loaded_obj;
+  /* Fresh allocation per compile: the runner's hot-reload path destroys
+   * the OLD executable after the swap — a double-destroy or a swap to a
+   * stale pointer crashes here instead of only on real hardware. */
+  a->executable =
+      (PJRT_LoadedExecutable*)calloc(1, sizeof(PJRT_LoadedExecutable));
+  return NULL;
+}
+
+static PJRT_Error* loaded_destroy(PJRT_LoadedExecutable_Destroy_Args* a) {
+  free(a->executable);
   return NULL;
 }
 
@@ -234,6 +242,7 @@ const PJRT_Api* GetPjrtApi(void) {
   g_api_tbl.PJRT_Client_Destroy = client_destroy;
   g_api_tbl.PJRT_Client_AddressableDevices = client_devices;
   g_api_tbl.PJRT_Client_Compile = client_compile;
+  g_api_tbl.PJRT_LoadedExecutable_Destroy = loaded_destroy;
   g_api_tbl.PJRT_Client_BufferFromHostBuffer = from_host;
   g_api_tbl.PJRT_LoadedExecutable_GetExecutable = get_executable;
   g_api_tbl.PJRT_Executable_NumOutputs = num_outputs;

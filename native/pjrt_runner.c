@@ -30,6 +30,17 @@
  * socket read and host->device upload proceed (both ride the tunnel, the
  * slow resource here); responses stay FIFO.
  *
+ * POST /reload (body: plain-text bundle base path; empty body = the
+ * startup bundle) hot-swaps weights with zero downtime — the C twin of
+ * the Python engine's InferenceEngine.reload (serve.py). Weights are
+ * baked into the exported program, so "reload" here means compiling the
+ * NEW bundle on a background thread while the current executable keeps
+ * serving; the swap happens at a quiescent point (no in-flight execute)
+ * before the next request. The new bundle's .sig must match the serving
+ * signature exactly (409 otherwise); one reload in flight at a time
+ * (409); a failed compile keeps the old weights serving and surfaces the
+ * error in GET /stats. /healthz and /stats report weights_version.
+ *
  * Defaults target this machine's axon TPU plugin; --plugin lets the same
  * binary drive any PJRT plugin (CPU, GPU, stock libtpu) with a matching
  * bundle. Works against PJRT C API >= 0.54 via the append-only forward-
@@ -48,6 +59,7 @@
 #include <arpa/inet.h>
 #include <netinet/in.h>
 #include <poll.h>
+#include <pthread.h>
 #include <signal.h>
 #include <strings.h>
 #include <sys/socket.h>
@@ -88,6 +100,24 @@ static void check(PJRT_Error* err, const char* what) {
   exit(1);
 }
 
+/* Non-fatal variant of check(): capture the plugin's error text into buf
+ * and return -1 (the reload path must not exit the serving process). */
+static int err_text(PJRT_Error* err, const char* what, char* buf, size_t cap) {
+  if (err == NULL) return 0;
+  PJRT_Error_Message_Args m;
+  memset(&m, 0, sizeof m);
+  m.struct_size = PJRT_Error_Message_Args_STRUCT_SIZE;
+  m.error = err;
+  g_api->PJRT_Error_Message(&m);
+  snprintf(buf, cap, "%s failed: %.*s", what, (int)m.message_size, m.message);
+  PJRT_Error_Destroy_Args d;
+  memset(&d, 0, sizeof d);
+  d.struct_size = PJRT_Error_Destroy_Args_STRUCT_SIZE;
+  d.error = err;
+  g_api->PJRT_Error_Destroy(&d);
+  return -1;
+}
+
 static void await_event(PJRT_Event* ev, const char* what) {
   PJRT_Event_Await_Args a;
   memset(&a, 0, sizeof a);
@@ -101,19 +131,30 @@ static void await_event(PJRT_Event* ev, const char* what) {
   g_api->PJRT_Event_Destroy(&d);
 }
 
-static char* read_file(const char* path, size_t* size_out) {
+/* Returns NULL on any failure (reload must not kill the serving process). */
+static char* read_file_opt(const char* path, size_t* size_out) {
   FILE* f = fopen(path, "rb");
-  if (!f) {
-    fprintf(stderr, "pjrt_runner: cannot open %s\n", path);
-    exit(1);
-  }
+  if (!f) return NULL;
   fseek(f, 0, SEEK_END);
   long n = ftell(f);
   fseek(f, 0, SEEK_SET);
   char* buf = (char*)malloc((size_t)n);
-  if (!buf || fread(buf, 1, (size_t)n, f) != (size_t)n) die("short read");
+  if (!buf || fread(buf, 1, (size_t)n, f) != (size_t)n) {
+    free(buf);
+    fclose(f);
+    return NULL;
+  }
   fclose(f);
   *size_out = (size_t)n;
+  return buf;
+}
+
+static char* read_file(const char* path, size_t* size_out) {
+  char* buf = read_file_opt(path, size_out);
+  if (!buf) {
+    fprintf(stderr, "pjrt_runner: cannot read %s\n", path);
+    exit(1);
+  }
   return buf;
 }
 
@@ -126,9 +167,9 @@ typedef struct {
   size_t total_bytes;
 } Signature;
 
-static void parse_sig_line(FILE* f, Signature* s) {
+static int parse_sig_line(FILE* f, Signature* s) {
   char dtype[16];
-  if (fscanf(f, "%15s", dtype) != 1) die("bad .sig");
+  if (fscanf(f, "%15s", dtype) != 1) return -1;
   if (strcmp(dtype, "u8") == 0) {
     s->type = PJRT_Buffer_Type_U8;
     s->elem_bytes = 1;
@@ -136,7 +177,7 @@ static void parse_sig_line(FILE* f, Signature* s) {
     s->type = PJRT_Buffer_Type_F32;
     s->elem_bytes = 4;
   } else {
-    die("unsupported dtype in .sig (u8|f32)");
+    return -1; /* unsupported dtype (u8|f32) */
   }
   s->num_dims = 0;
   s->total_bytes = s->elem_bytes;
@@ -148,7 +189,25 @@ static void parse_sig_line(FILE* f, Signature* s) {
     if (c == '\n' || c == EOF) break;
     ungetc(c, f);
   }
-  if (s->num_dims == 0) die("no dims in .sig");
+  return s->num_dims == 0 ? -1 : 0;
+}
+
+/* Read "<base>.sig" (two lines: input, output). 0 on success. */
+static int load_sig(const char* base, Signature* in_sig, Signature* out_sig) {
+  char path[1024];
+  snprintf(path, sizeof path, "%s.sig", base);
+  FILE* f = fopen(path, "r");
+  if (!f) return -1;
+  int rc = parse_sig_line(f, in_sig) || parse_sig_line(f, out_sig);
+  fclose(f);
+  return rc ? -1 : 0;
+}
+
+static int sig_equal(const Signature* a, const Signature* b) {
+  if (a->type != b->type || a->num_dims != b->num_dims) return 0;
+  for (size_t i = 0; i < a->num_dims; i++)
+    if (a->dims[i] != b->dims[i]) return 0;
+  return 1;
 }
 
 /* The axon plugin handshake: the same env contract the Python
@@ -187,6 +246,112 @@ static PJRT_Client* g_client = NULL;
 static PJRT_Device* g_device = NULL;
 static PJRT_LoadedExecutable* g_exec = NULL;
 static Signature g_in_sig, g_out_sig;
+
+/* Compile "<base>.mlirbc" with "<base>.copts" on g_client. Non-fatal:
+ * returns 0 and *out on success, -1 with the reason in errbuf otherwise
+ * (the reload thread runs this while the daemon keeps serving). */
+static int compile_bundle(const char* base, PJRT_LoadedExecutable** out,
+                          char* errbuf, size_t errcap) {
+  char path[1024];
+  size_t mlir_size = 0, copts_size = 0;
+  snprintf(path, sizeof path, "%s.mlirbc", base);
+  char* mlir = read_file_opt(path, &mlir_size);
+  snprintf(path, sizeof path, "%s.copts", base);
+  char* copts = read_file_opt(path, &copts_size);
+  if (!mlir || !copts) {
+    snprintf(errbuf, errcap, "cannot read %s.{mlirbc,copts}", base);
+    free(mlir);
+    free(copts);
+    return -1;
+  }
+
+  PJRT_Program prog;
+  memset(&prog, 0, sizeof prog);
+  prog.struct_size = PJRT_Program_STRUCT_SIZE;
+  prog.code = mlir;
+  prog.code_size = mlir_size;
+  prog.format = "mlir";
+  prog.format_size = 4;
+
+  PJRT_Client_Compile_Args comp;
+  memset(&comp, 0, sizeof comp);
+  comp.struct_size = PJRT_Client_Compile_Args_STRUCT_SIZE;
+  comp.client = g_client;
+  comp.program = &prog;
+  comp.compile_options = copts;
+  comp.compile_options_size = copts_size;
+  int rc = err_text(g_api->PJRT_Client_Compile(&comp), "PJRT_Client_Compile",
+                    errbuf, errcap);
+  free(mlir);
+  free(copts);
+  if (rc) return -1;
+  *out = comp.executable;
+  return 0;
+}
+
+/* ---- zero-downtime weight hot-reload (the C twin of serve.py reload) --- */
+
+enum { RELOAD_IDLE = 0, RELOAD_COMPILING = 1, RELOAD_READY = 2 };
+
+static pthread_mutex_t g_reload_mu = PTHREAD_MUTEX_INITIALIZER;
+static int g_reload_state = RELOAD_IDLE;
+static PJRT_LoadedExecutable* g_reload_exec = NULL;
+static char g_reload_base[1024];       /* bundle being compiled / pending */
+static char g_reload_err[512];         /* last failed reload, "" if none */
+static char g_bundle_cur[1024];        /* currently-serving bundle base */
+static long g_weights_version = 0;     /* bumped on every successful swap */
+
+static void* reload_thread(void* arg) {
+  (void)arg;
+  PJRT_LoadedExecutable* ne = NULL;
+  char err[512];
+  double t0 = now_s();
+  if (compile_bundle(g_reload_base, &ne, err, sizeof err) != 0) {
+    pthread_mutex_lock(&g_reload_mu);
+    snprintf(g_reload_err, sizeof g_reload_err, "%s", err);
+    g_reload_state = RELOAD_IDLE;
+    pthread_mutex_unlock(&g_reload_mu);
+    fprintf(stderr, "pjrt_runner: reload failed: %s\n", err);
+  } else {
+    pthread_mutex_lock(&g_reload_mu);
+    g_reload_exec = ne;
+    g_reload_state = RELOAD_READY;
+    pthread_mutex_unlock(&g_reload_mu);
+    printf("reload: compiled %s in %.1fs (swap pending)\n", g_reload_base,
+           now_s() - t0);
+    fflush(stdout);
+  }
+  return NULL;
+}
+
+/* Swap in a compiled reload. MUST be called with no inference in flight —
+ * destroying the old executable during an execute is undefined. */
+static void maybe_swap_exec(void) {
+  pthread_mutex_lock(&g_reload_mu);
+  if (g_reload_state != RELOAD_READY) {
+    pthread_mutex_unlock(&g_reload_mu);
+    return;
+  }
+  PJRT_LoadedExecutable* old = g_exec;
+  g_exec = g_reload_exec;
+  g_reload_exec = NULL;
+  g_reload_state = RELOAD_IDLE;
+  g_reload_err[0] = 0;
+  g_weights_version++;
+  snprintf(g_bundle_cur, sizeof g_bundle_cur, "%s", g_reload_base);
+  long ver = g_weights_version;
+  pthread_mutex_unlock(&g_reload_mu);
+  if (g_api->PJRT_LoadedExecutable_Destroy != NULL) {
+    PJRT_LoadedExecutable_Destroy_Args ed;
+    memset(&ed, 0, sizeof ed);
+    ed.struct_size = PJRT_LoadedExecutable_Destroy_Args_STRUCT_SIZE;
+    ed.executable = old;
+    check(g_api->PJRT_LoadedExecutable_Destroy(&ed),
+          "PJRT_LoadedExecutable_Destroy(old)");
+  }
+  printf("reload: serving %s (weights_version %ld)\n", g_bundle_cur, ver);
+  fflush(stdout);
+}
 
 /* An inference split in two so the serving loop can overlap the NEXT
  * request's socket read + host->device upload with the current execute
@@ -372,14 +537,93 @@ static void complete_request(Inflight* fl, int fd, char* out,
 /* GET /stats — the C twin of the Python server's endpoint (same shape of
  * payload, fewer fields: no batching ladder in this daemon). */
 static void reply_stats(int fd) {
-  char body[256];
+  char body[2048];
+  pthread_mutex_lock(&g_reload_mu);
+  int reloading = g_reload_state != RELOAD_IDLE;
+  long ver = g_weights_version;
+  char rerr[512], cur[1024];
+  snprintf(rerr, sizeof rerr, "%s", g_reload_err);
+  snprintf(cur, sizeof cur, "%s", g_bundle_cur);
+  pthread_mutex_unlock(&g_reload_mu);
   int m = snprintf(body, sizeof body,
                    "{\"served\": %ld, \"last_inference_s\": %.4f, "
-                   "\"mean_inference_s\": %.4f, \"uptime_s\": %.1f}",
+                   "\"mean_inference_s\": %.4f, \"uptime_s\": %.1f, "
+                   "\"weights_version\": %ld, \"reloading\": %s, "
+                   "\"bundle\": \"%s\", \"last_reload_error\": \"%s\"}",
                    g_served, g_last_s,
                    g_served > 0 ? g_total_s / (double)g_served : 0.0,
-                   now_s() - g_start_s);
+                   now_s() - g_start_s, ver, reloading ? "true" : "false",
+                   cur, rerr);
   http_reply(fd, 200, "OK", "application/json", NULL, body, (size_t)m);
+}
+
+/* POST /reload — body is a plain-text bundle base path (empty = the
+ * startup bundle). Validates the .sig, then compiles on a background
+ * thread; 202 means "compiling, swap when ready". */
+static void handle_reload(int fd, const char* body_txt, size_t body_len) {
+  char base[1024];
+  size_t n = body_len < sizeof base - 1 ? body_len : sizeof base - 1;
+  memcpy(base, body_txt, n);
+  base[n] = 0;
+  /* trim whitespace/newlines */
+  while (n > 0 && (base[n - 1] == '\n' || base[n - 1] == '\r' ||
+                   base[n - 1] == ' ' || base[n - 1] == '\t'))
+    base[--n] = 0;
+  char* start = base;
+  while (*start == ' ' || *start == '\t') start++;
+
+  pthread_mutex_lock(&g_reload_mu);
+  if (g_reload_state != RELOAD_IDLE) {
+    pthread_mutex_unlock(&g_reload_mu);
+    const char err[] = "{\"error\": \"reload already in progress\"}";
+    http_reply(fd, 409, "Conflict", "application/json", NULL, err,
+               sizeof err - 1);
+    return;
+  }
+  if (*start == 0) start = g_bundle_cur; /* empty body: re-load current */
+  snprintf(g_reload_base, sizeof g_reload_base, "%s", start);
+  pthread_mutex_unlock(&g_reload_mu);
+
+  Signature nin, nout;
+  if (load_sig(g_reload_base, &nin, &nout) != 0) {
+    char err[1200];
+    int m = snprintf(err, sizeof err,
+                     "{\"error\": \"cannot read %s.sig\"}", g_reload_base);
+    http_reply(fd, 400, "Bad Request", "application/json", NULL, err,
+               (size_t)m);
+    return;
+  }
+  if (!sig_equal(&nin, &g_in_sig) || !sig_equal(&nout, &g_out_sig)) {
+    const char err[] =
+        "{\"error\": \"bundle signature mismatch: reload requires the same "
+        "input/output shapes and dtypes as the serving bundle\"}";
+    http_reply(fd, 409, "Conflict", "application/json", NULL, err,
+               sizeof err - 1);
+    return;
+  }
+
+  pthread_mutex_lock(&g_reload_mu);
+  g_reload_state = RELOAD_COMPILING;
+  g_reload_err[0] = 0;
+  pthread_mutex_unlock(&g_reload_mu);
+  pthread_t th;
+  if (pthread_create(&th, NULL, reload_thread, NULL) != 0) {
+    pthread_mutex_lock(&g_reload_mu);
+    g_reload_state = RELOAD_IDLE;
+    snprintf(g_reload_err, sizeof g_reload_err, "pthread_create failed");
+    pthread_mutex_unlock(&g_reload_mu);
+    const char err[] = "{\"error\": \"cannot start reload thread\"}";
+    http_reply(fd, 500, "Internal Server Error", "application/json", NULL,
+               err, sizeof err - 1);
+    return;
+  }
+  pthread_detach(th);
+  char ok[1200];
+  int m = snprintf(ok, sizeof ok,
+                   "{\"status\": \"compiling\", \"bundle\": \"%s\", "
+                   "\"weights_version\": %ld}",
+                   g_reload_base, g_weights_version);
+  http_reply(fd, 202, "Accepted", "application/json", NULL, ok, (size_t)m);
 }
 
 static int serve_http(int port, const char* host) {
@@ -463,14 +707,61 @@ static int serve_http(int port, const char* host) {
       close(fd);
       continue;
     }
+    /* Apply a finished reload at a quiescent point: drain any in-flight
+     * inference (it ran on the OLD weights — FIFO is preserved), then
+     * swap executables before handling this request. */
+    pthread_mutex_lock(&g_reload_mu);
+    int swap_ready = g_reload_state == RELOAD_READY;
+    pthread_mutex_unlock(&g_reload_mu);
+    if (swap_ready) {
+      if (pend_fd >= 0) {
+        complete_request(&pend_fl, pend_fd, out, shape_hdr);
+        pend_fd = -1;
+      }
+      maybe_swap_exec();
+    }
     if (strncmp(head, "GET /healthz", 12) == 0) {
-      const char ok[] = "{\"ok\": true}";
-      http_reply(fd, 200, "OK", "application/json", NULL, ok, sizeof ok - 1);
+      char hb[128];
+      pthread_mutex_lock(&g_reload_mu);
+      long ver = g_weights_version;
+      int reloading = g_reload_state != RELOAD_IDLE;
+      pthread_mutex_unlock(&g_reload_mu);
+      int m = snprintf(hb, sizeof hb,
+                       "{\"ok\": true, \"weights_version\": %ld, "
+                       "\"reloading\": %s}",
+                       ver, reloading ? "true" : "false");
+      http_reply(fd, 200, "OK", "application/json", NULL, hb, (size_t)m);
       close(fd);
       continue;
     }
     if (strncmp(head, "GET /stats", 10) == 0) {
       reply_stats(fd);
+      close(fd);
+      continue;
+    }
+    if (strncmp(head, "POST /reload", 12) == 0) {
+      long rlen = 0;
+      for (char* p = head; (p = strstr(p, "\r\n")) != NULL && p[2];) {
+        p += 2;
+        if (strncasecmp(p, "Content-Length:", 15) == 0)
+          rlen = strtol(p + 15, NULL, 10);
+      }
+      if (rlen < 0 || rlen > 4000) {
+        const char err[] = "{\"error\": \"reload body too large\"}";
+        http_reply(fd, 400, "Bad Request", "application/json", NULL, err,
+                   sizeof err - 1);
+        close(fd);
+        continue;
+      }
+      char rbody[4096];
+      size_t got = body_got < (size_t)rlen ? body_got : (size_t)rlen;
+      memcpy(rbody, head + head_len, got);
+      while (got < (size_t)rlen) {
+        ssize_t r = read(fd, rbody + got, (size_t)rlen - got);
+        if (r <= 0 || now_s() > read_deadline) break;
+        got += (size_t)r;
+      }
+      handle_reload(fd, rbody, got);
       close(fd);
       continue;
     }
@@ -569,18 +860,12 @@ int main(int argc, char** argv) {
   if (!base) die("missing <bundle_base> (from export_native_bundle)");
 
   char path[1024];
-  size_t mlir_size, copts_size;
+  size_t mlir_size;
   snprintf(path, sizeof path, "%s.mlirbc", base);
-  char* mlir = read_file(path, &mlir_size);
-  snprintf(path, sizeof path, "%s.copts", base);
-  char* copts = read_file(path, &copts_size);
-  snprintf(path, sizeof path, "%s.sig", base);
-  FILE* sf = fopen(path, "r");
-  if (!sf) die("missing .sig");
+  char* mlir_probe = read_file(path, &mlir_size); /* existence + size */
+  free(mlir_probe);
   Signature in_sig, out_sig;
-  parse_sig_line(sf, &in_sig);
-  parse_sig_line(sf, &out_sig);
-  fclose(sf);
+  if (load_sig(base, &in_sig, &out_sig) != 0) die("bad or missing .sig");
   printf("bundle %s: program %.1f MB, input %zu B, output %zu B\n", base,
          mlir_size / 1e6, in_sig.total_bytes, out_sig.total_bytes);
 
@@ -637,25 +922,12 @@ int main(int argc, char** argv) {
   PJRT_Device* device = ad.addressable_devices[0];
   printf("%zu addressable device(s)\n", ad.num_addressable_devices);
 
-  /* ---- compile --------------------------------------------------------- */
-  PJRT_Program prog;
-  memset(&prog, 0, sizeof prog);
-  prog.struct_size = PJRT_Program_STRUCT_SIZE;
-  prog.code = mlir;
-  prog.code_size = mlir_size;
-  prog.format = "mlir";
-  prog.format_size = 4;
-
+  /* ---- compile (same path the /reload thread uses) ---------------------- */
+  g_client = client;
   t0 = now_s();
-  PJRT_Client_Compile_Args comp;
-  memset(&comp, 0, sizeof comp);
-  comp.struct_size = PJRT_Client_Compile_Args_STRUCT_SIZE;
-  comp.client = client;
-  comp.program = &prog;
-  comp.compile_options = copts;
-  comp.compile_options_size = copts_size;
-  check(g_api->PJRT_Client_Compile(&comp), "PJRT_Client_Compile");
-  PJRT_LoadedExecutable* exec = comp.executable;
+  PJRT_LoadedExecutable* exec = NULL;
+  char cerr[512];
+  if (compile_bundle(base, &exec, cerr, sizeof cerr) != 0) die(cerr);
   printf("compiled in %.1fs\n", now_s() - t0);
 
   PJRT_LoadedExecutable_GetExecutable_Args ge;
@@ -689,11 +961,11 @@ int main(int argc, char** argv) {
   }
 
   char* result = (char*)malloc(out_sig.total_bytes);
-  g_client = client;
   g_device = device;
   g_exec = exec;
   g_in_sig = in_sig;
   g_out_sig = out_sig;
+  snprintf(g_bundle_cur, sizeof g_bundle_cur, "%s", base);
 
   if (serve_port > 0) return serve_http(serve_port, serve_host);
 

@@ -60,7 +60,8 @@ def binaries(tmp_path_factory):
     plugin = str(d / "mock_pjrt_plugin.so")
     subprocess.run(
         ["cc", "-O2", "-Wall", "-Werror", f"-I{_TF_INCLUDE}",
-         "-o", runner, os.path.join(NATIVE, "pjrt_runner.c"), "-ldl"],
+         "-o", runner, os.path.join(NATIVE, "pjrt_runner.c"),
+         "-ldl", "-lpthread"],
         check=True,
     )
     subprocess.run(
@@ -219,6 +220,106 @@ def test_serve_daemon_http(binaries, bundle):
         c.request("POST", "/nope", body=b"x")
         assert c.getresponse().status == 404
         c.close()
+    finally:
+        proc.kill()
+        proc.wait()
+
+
+def test_serve_reload_hot_swaps_bundle(binaries, bundle, tmp_path):
+    """POST /reload — the C twin of InferenceEngine.reload: background
+    compile of a same-signature bundle, quiescent-point swap (old
+    executable destroyed exactly once — the mock frees it, so a
+    double-destroy crashes the daemon here), weights_version bumps in
+    /healthz and /stats, serving uninterrupted; signature mismatch and
+    unreadable bundles are rejected without touching the serving state."""
+    import json
+    import shutil as sh
+    import socket
+
+    runner, plugin = binaries
+    base, paths = bundle
+    # same-signature "new weights": a byte-copy of the bundle (the mock is
+    # not a compiler — real new-weights behavior is verified on-chip)
+    base2 = str(tmp_path / "fdgan32_v2")
+    for ext in (".mlirbc", ".copts", ".sig"):
+        sh.copy(base + ext, base2 + ext)
+    # mismatched signature: 16x16 where the daemon serves 32x32
+    base_bad = str(tmp_path / "fdgan16_bad")
+    with open(base_bad + ".sig", "w") as f:
+        f.write("u8 1 16 16 3\nu8 1 16 16 3\n")
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    proc = subprocess.Popen(
+        [runner, base, "--plugin", plugin, "--serve", str(port)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+    )
+
+    def req(method, path, body=None):
+        c = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+        c.request(method, path, body=body)
+        r = c.getresponse()
+        data = r.read()
+        c.close()
+        return r.status, data
+
+    try:
+        _wait_for_port(port, proc)
+        status, data = req("GET", "/healthz")
+        h = json.loads(data)
+        assert (status, h["ok"], h["weights_version"]) == (200, True, 0)
+
+        img = np.asarray(
+            np.random.default_rng(2).integers(0, 256, (1, 32, 32, 3)), np.uint8
+        ).tobytes()
+        status, data = req("POST", "/dehaze", img)
+        assert status == 200 and data == img
+
+        # reload to the copied bundle: 202, then the version bump applies at
+        # the next quiescent point after the background compile finishes
+        status, data = req("POST", "/reload", base2.encode())
+        assert status == 202, data
+        assert json.loads(data)["status"] == "compiling"
+        t0 = time.time()
+        while time.time() - t0 < 30:
+            status, data = req("GET", "/healthz")
+            h = json.loads(data)
+            if h["weights_version"] == 1 and not h["reloading"]:
+                break
+            time.sleep(0.1)
+        assert h["weights_version"] == 1, data
+
+        # serving continues through the swapped executable
+        status, data = req("POST", "/dehaze", img)
+        assert status == 200 and data == img
+        status, data = req("GET", "/stats")
+        st = json.loads(data)
+        assert st["weights_version"] == 1
+        assert st["bundle"] == base2
+        assert st["last_reload_error"] == ""
+
+        # signature mismatch → 409, state untouched
+        status, data = req("POST", "/reload", base_bad.encode())
+        assert status == 409 and b"signature mismatch" in data
+        # unreadable bundle → 400
+        status, data = req("POST", "/reload", b"/nonexistent/bundle")
+        assert status == 400 and b"cannot read" in data
+        status, data = req("GET", "/healthz")
+        assert json.loads(data)["weights_version"] == 1
+
+        # empty body = re-load the CURRENT bundle (checkpoint re-promotion)
+        status, data = req("POST", "/reload", b"")
+        assert status == 202
+        t0 = time.time()
+        while time.time() - t0 < 30:
+            status, data = req("GET", "/healthz")
+            if json.loads(data)["weights_version"] == 2:
+                break
+            time.sleep(0.1)
+        assert json.loads(data)["weights_version"] == 2
+        status, data = req("POST", "/dehaze", img)
+        assert status == 200 and data == img
     finally:
         proc.kill()
         proc.wait()
